@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship per-vertex graph summary on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 / §2.7
+plus the training-data pipeline ops); each callable ``(spark, sf_dir) →
+DataFrame``.
+``oracle_sql()`` — exact DuckDB ANSI-SQL twins for every
+SQL-expressible query. Iterative float algorithms (PageRank, LPA, BFS
+is oracled via bounded recursion; LSH-ANN and SimHash are rows-only)
+have their real verification in ``tests/`` against numpy oracles.
 """
 
 from __future__ import annotations
@@ -12,27 +15,508 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- helpers
+
+def _events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.sources.tables import events_user_edges
+
+    return events_user_edges(spark, sf_dir)
+
+
+# shared DuckDB CTE: the events-derived user interaction graph
+_EG = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev_user
+  FROM events
+), eg AS (
+  SELECT prev_user AS src_vertex, user_id AS dst_vertex,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM ordered
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+  GROUP BY 1, 2
+), sym AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT src_vertex AS s, dst_vertex AS d FROM eg
+    UNION ALL
+    SELECT dst_vertex, src_vertex FROM eg
+  )
+), verts AS (
+  -- NB: inside WITH RECURSIVE DuckDB does not dedup a plain UNION here;
+  -- dedup explicitly
+  SELECT DISTINCT v FROM (
+    SELECT src_vertex AS v FROM eg UNION ALL SELECT dst_vertex FROM eg
+  )
+), und AS (
+  SELECT least(src_vertex, dst_vertex) AS a,
+         greatest(src_vertex, dst_vertex) AS b
+  FROM eg WHERE src_vertex <> dst_vertex
+  GROUP BY 1, 2
+)
+"""
+
+# DuckDB shingle + minhash fragments (word 3-grams, salted md5 family —
+# mirrors functions/dedup.py exactly)
+_SHINGLES = """
+  [array_to_string(toks[i:i+2], ' ')
+   for i in generate_series(1, greatest(len(toks) - 2, 1))]
+"""
+
+
+def _mh_sql(i: int) -> str:
+    return f"list_min([md5('h{i}:' || s) for s in sh])"
+
+
+_DOCS_SH = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), shingled AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM t
+)
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+def q_edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events_edges(spark, sf_dir)
+
+
+def q_degrees_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import degrees
+
+    return degrees(_events_edges(spark, sf_dir))
+
+
+def q_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import connected_components
+
+    return connected_components(_events_edges(spark, sf_dir))
+
+
+def q_cc_sizes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import connected_components
+    from webgraph_algo_rs_spark.operators.components import component_sizes
+
+    return component_sizes(connected_components(_events_edges(spark, sf_dir)))
+
+
+def q_triangles_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import triangle_count_global
+
+    return triangle_count_global(_events_edges(spark, sf_dir))
+
+
+def q_triangles_vertex_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import triangle_count_per_vertex
+
+    return triangle_count_per_vertex(_events_edges(spark, sf_dir))
+
+
+def q_top_inweight_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import degrees
+
+    return (
+        degrees(_events_edges(spark, sf_dir))
+        .orderBy(F.desc("in_weight"), F.asc("vertex"))
+        .limit(10)
+        .select("vertex", "in_weight")
+    )
+
+
+def q_bfs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import bfs_distances
+    from webgraph_algo_rs_spark.plans.superstep import graph_vertices
+
+    edges = _events_edges(spark, sf_dir)
+    source = graph_vertices(edges).agg(F.min("vertex")).first()[0]
+    return bfs_distances(edges, [int(source)]).select("vertex", "distance")
+
+
+def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import pagerank
+
+    return pagerank(_events_edges(spark, sf_dir), tol=1e-6, max_iter=100)
+
+
+def q_lpa_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import label_propagation
+
+    return label_propagation(_events_edges(spark, sf_dir), max_iter=10)
+
+
+def q_edges_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.sources.tables import customer_supplier_edges
+
+    return customer_supplier_edges(spark, sf_dir)
+
+
+def q_kahn_layers_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import kahn_layers
+    from webgraph_algo_rs_spark.sources.tables import customer_supplier_edges
+
+    return kahn_layers(customer_supplier_edges(spark, sf_dir))
+
+
+def q_transcript_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline on synthetic transcripts (rows-only check;
+    full verification in tests/test_extraction.py vs a pandas oracle)."""
+    from webgraph_algo_rs_spark.extraction import extract_edges
+    from webgraph_algo_rs_spark.sources.transcripts import gen_transcripts
+
+    return extract_edges(gen_transcripts(spark, 200, seed=42))
+
+
+def q_pagerank_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.extraction import extract_edges
+    from webgraph_algo_rs_spark.operators import pagerank
+    from webgraph_algo_rs_spark.sources.transcripts import gen_transcripts
+
+    edges = extract_edges(gen_transcripts(spark, 200, seed=42))
+    return pagerank(edges, tol=1e-6, max_iter=100)
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import exact_duplicates
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import token_counts
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import quality_scores
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import language_id
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import fingerprints
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import minhash_signatures
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), n_hashes=4)
+    return sigs.select(
+        "doc_id", *[F.col("sig")[i].alias(f"mh{i}") for i in range(4)]
+    )
+
+
+def q_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import lsh_candidate_pairs
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    return lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), n_hashes=8, bands=4
+    )
+
+
+def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import ngram_jaccard_pairs
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import simhash64
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    return simhash64(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import cosine_topk_bruteforce
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_bruteforce(emb, queries=emb.filter("vec_id < 10"), k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import cosine_topk_lsh
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return cosine_topk_lsh(emb, dim=dim, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-vertex graph summary (degrees ⋈ components ⋈
+    pagerank ⋈ triangles) of the sf0.001 events interaction graph."""
+    from webgraph_algo_rs_spark.operators import (
+        connected_components,
+        degrees,
+        pagerank,
+        triangle_count_per_vertex,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = _events_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return (
+        degrees(edges)
+        .join(connected_components(edges), "vertex")
+        .join(pagerank(edges, tol=1e-6, max_iter=100), "vertex")
+        .join(triangle_count_per_vertex(edges), "vertex")
+        .select(
+            "vertex", "out_degree", "in_degree", "out_weight", "in_weight",
+            "component", "rank", "n_triangles",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edges_events": q_edges_events,
+        "degrees_events": q_degrees_events,
+        "cc_events": q_cc_events,
+        "cc_sizes_events": q_cc_sizes_events,
+        "triangles_global_events": q_triangles_global_events,
+        "triangles_vertex_events": q_triangles_vertex_events,
+        "top_inweight_events": q_top_inweight_events,
+        "bfs_events": q_bfs_events,
+        "pagerank_events": q_pagerank_events,
+        "lpa_events": q_lpa_events,
+        "edges_cust_supp": q_edges_cust_supp,
+        "kahn_layers_cust_supp": q_kahn_layers_cust_supp,
+        "transcript_edges": q_transcript_edges,
+        "pagerank_transcripts": q_pagerank_transcripts,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "quality_docs": q_quality_docs,
+        "langid_docs": q_langid_docs,
+        "fingerprints_docs": q_fingerprints_docs,
+        "minhash_docs": q_minhash_docs,
+        "lsh_pairs_docs": q_lsh_pairs_docs,
+        "jaccard_pairs_docs": q_jaccard_pairs_docs,
+        "simhash_docs": q_simhash_docs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lsh_bands = """
+, sigs AS (
+  SELECT doc_id,
+         {mh} AS m
+  FROM shingled
+), banded AS (
+  SELECT doc_id, i AS band_idx, m[2*i+1] || '|' || m[2*i+2] AS band_hash
+  FROM sigs, generate_series(0, 3) AS t(i)
+)
+""".format(mh="[" + ", ".join(_mh_sql(i) for i in range(8)) + "]")
+
+    return {
+        "edges_events": _EG + "SELECT src_vertex, dst_vertex, weight FROM eg",
+        "degrees_events": _EG + """
+SELECT v.v AS vertex,
+       CAST(coalesce(o.cnt, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(i.cnt, 0) AS BIGINT) AS in_degree,
+       coalesce(o.w, 0.0) AS out_weight,
+       coalesce(i.w, 0.0) AS in_weight
+FROM verts v
+LEFT JOIN (SELECT src_vertex, count(*) cnt, sum(weight) w FROM eg GROUP BY 1) o
+  ON v.v = o.src_vertex
+LEFT JOIN (SELECT dst_vertex, count(*) cnt, sum(weight) w FROM eg GROUP BY 1) i
+  ON v.v = i.dst_vertex
+""",
+        "cc_events": _EG + """
+, cc(v, label) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT s.d, cc.label FROM cc JOIN sym s ON cc.v = s.s
+)
+SELECT v AS vertex, min(label) AS component FROM cc GROUP BY v
+""",
+        "cc_sizes_events": _EG + """
+, cc(v, label) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT s.d, cc.label FROM cc JOIN sym s ON cc.v = s.s
+), comp AS (
+  SELECT v, min(label) AS component FROM cc GROUP BY v
+)
+SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1
+""",
+        "triangles_global_events": _EG + """
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+""",
+        "triangles_vertex_events": _EG + """
+, tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+), corners AS (
+  SELECT u AS vertex FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT vt.v AS vertex, CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+FROM verts vt
+LEFT JOIN (SELECT vertex, count(*) n FROM corners GROUP BY 1) c ON vt.v = c.vertex
+""",
+        "top_inweight_events": _EG + """
+, iw AS (
+  SELECT v.v AS vertex, coalesce(i.w, 0.0) AS in_weight
+  FROM verts v
+  LEFT JOIN (SELECT dst_vertex, sum(weight) w FROM eg GROUP BY 1) i
+    ON v.v = i.dst_vertex
+)
+SELECT vertex, in_weight FROM iw ORDER BY in_weight DESC, vertex LIMIT 10
+""",
+        "bfs_events": _EG + """
+, src AS (SELECT min(v) AS s FROM verts)
+, r(v, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.dst_vertex, r.d + 1 FROM r JOIN eg e ON r.v = e.src_vertex
+  WHERE r.d < 300
+)
+SELECT v AS vertex, CAST(min(d) AS BIGINT) AS distance FROM r GROUP BY v
+""",
+        "edges_cust_supp": """
+SELECT CAST(-o.o_custkey - 1 AS BIGINT) AS src_vertex,
+       CAST(l.l_suppkey AS BIGINT) AS dst_vertex,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""",
+        "kahn_layers_cust_supp": """
+WITH cs AS (
+  SELECT CAST(-o.o_custkey - 1 AS BIGINT) AS src, CAST(l.l_suppkey AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), verts AS (
+  SELECT DISTINCT src AS v FROM cs UNION SELECT DISTINCT dst FROM cs
+)
+SELECT v AS vertex,
+       CAST(CASE WHEN v IN (SELECT dst FROM cs) THEN 1 ELSE 0 END AS BIGINT) AS layer
+FROM verts
+""",
+        "dedup_exact_docs": """
+SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+""",
+        "token_counts_docs": """
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(ceil(len(text) / 4) AS BIGINT) AS n_tokens_bpe_est
+FROM documents
+""",
+        "quality_docs": """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         len(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / len(toks) AS mean_token_len,
+       CAST(n_chars - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+       CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','for'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+       CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio
+FROM t
+""",
+        "langid_docs": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','for'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','los','en','por','una'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','une','est','dans'], x))) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS lang_score
+FROM s
+""",
+        "fingerprints_docs": """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+        "minhash_docs": _DOCS_SH + f"""
+SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+       {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+FROM shingled
+""",
+        "lsh_pairs_docs": _DOCS_SH + lsh_bands + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+""",
+        "jaccard_pairs_docs": _DOCS_SH + lsh_bands + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM shingled
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+FROM pairs p
+JOIN sets sa ON p.doc_a = sa.doc_id
+JOIN sets sb ON p.doc_b = sb.doc_id
+""",
+        "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+), s AS (
+  SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim
+  FROM q, c WHERE qid <> nid
+), r AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+  FROM s
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+""",
+    }

@@ -1,0 +1,104 @@
+"""Benchmark harness — run headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "edges_per_sec_per_superstep": <pagerank throughput>, ...}``
+
+The headline throughput metric follows BASELINE.json: edges processed
+per second per PageRank superstep, run to 1e-6 L1 convergence on the
+transcript-derived edge graph. Scaling evidence (local[8] vs local[32])
+lives in tools/bench_scaling.py → BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from webgraph_algo_rs_spark.extraction import extract_edges
+    from webgraph_algo_rs_spark.functions import (
+        cosine_topk_bruteforce,
+        lsh_candidate_pairs,
+    )
+    from webgraph_algo_rs_spark.operators import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count_per_vertex,
+    )
+    from webgraph_algo_rs_spark.session import get_spark
+    from webgraph_algo_rs_spark.sources.tables import events_user_edges, load_table
+    from webgraph_algo_rs_spark.sources.transcripts import gen_transcripts
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: north-rule flagship — transcript graph PageRank to 1e-6
+    tedges = extract_edges(gen_transcripts(spark, 4000, seed=42)).localCheckpoint()
+    n_tedges = tedges.count()
+    pr_stats: dict = {}
+    timed("q1_pagerank_transcripts", lambda: pagerank(
+        tedges, tol=1e-6, max_iter=100, stats=pr_stats
+    ).count())
+    supersteps = max(pr_stats.get("iterations", 1), 1)
+    extra["pagerank_supersteps"] = supersteps
+    extra["pagerank_residual"] = pr_stats.get("residual", -1)
+    extra["n_edges_transcripts"] = n_tedges
+    extra["edges_per_sec_per_superstep"] = round(
+        n_tedges * supersteps / timings["q1_pagerank_transcripts"], 1
+    )
+
+    # q2-q5: events interaction graph
+    eedges = events_user_edges(spark, sf_dir).localCheckpoint()
+    extra["n_edges_events"] = eedges.count()
+    timed("q2_pagerank_events", lambda: pagerank(eedges, tol=1e-6, max_iter=100).count())
+    timed("q3_cc_events", lambda: connected_components(eedges).count())
+    timed("q4_lpa_events", lambda: label_propagation(eedges, max_iter=10).count())
+    timed("q5_triangles_events", lambda: triangle_count_per_vertex(eedges).count())
+
+    # q6-q7: training-data ops
+    docs = load_table(spark, sf_dir, "documents")
+    timed("q6_minhash_lsh_docs", lambda: lsh_candidate_pairs(docs).count())
+    emb = load_table(spark, sf_dir, "embeddings")
+    timed("q7_ann_topk", lambda: cosine_topk_bruteforce(
+        emb, queries=emb.filter("vec_id < 100"), k=10
+    ).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "edges-processed/sec per superstep (PageRank to 1e-6) + headline query secs",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""North-rule algorithms vs oracles on the reference's fixture graphs
+(FIXTURES.md §3) and seeded ER graphs (cross-check strategy,
+/root/reference/tests/test_sccs.rs:222-266)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import (
+    COMPLETE5,
+    CYCLE4,
+    DAG4,
+    DIAMOND,
+    NINE,
+    TREE7,
+    edge_df,
+    er_graph,
+)
+from tests.oracles import (
+    bfs_oracle,
+    cc_oracle,
+    lpa_oracle,
+    pagerank_oracle,
+    triangles_oracle,
+)
+from webgraph_algo_rs_spark.operators import (
+    bfs_distances,
+    connected_components,
+    degrees,
+    is_acyclic,
+    kahn_layers,
+    label_propagation,
+    pagerank,
+    renumber_by_size,
+    triangle_count_global,
+    triangle_count_per_vertex,
+)
+from webgraph_algo_rs_spark.operators.components import component_sizes
+
+
+def _w(arcs):
+    """Deterministic non-uniform weights to exercise the weighted paths."""
+    return [1.0 + ((u * 7 + v * 3) % 5) for u, v in arcs]
+
+
+GRAPHS = {
+    "diamond": DIAMOND,
+    "nine": NINE,
+    "cycle4": CYCLE4,
+    "complete5": COMPLETE5,
+    "tree7": TREE7,
+    "er30": er_graph(30, 0.1, seed=0),
+    "er50": er_graph(50, 0.05, seed=1),
+}
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_pagerank_matches_oracle(spark, name):
+    arcs = GRAPHS[name]
+    w = _w(arcs)
+    df = edge_df(spark, arcs, w)
+    got = {r["vertex"]: r["rank"] for r in pagerank(df, tol=1e-9, max_iter=500).collect()}
+    want = pagerank_oracle(
+        [(u, v, x) for (u, v), x in zip(arcs, w)], tol=1e-9, max_iter=500
+    )
+    assert set(got) == set(want)
+    gv = np.array([got[k] for k in sorted(got)])
+    wv = np.array([want[k] for k in sorted(want)])
+    np.testing.assert_allclose(gv, wv, rtol=1e-6, atol=1e-12)
+    assert abs(gv.sum() - 1.0) < 1e-9  # probability mass conserved
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_cc_matches_oracle(spark, name):
+    arcs = GRAPHS[name]
+    df = edge_df(spark, arcs)
+    got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+    want = cc_oracle([(u, v, 1.0) for u, v in arcs])
+    assert got == want
+
+
+def test_cc_two_components_and_renumber(spark):
+    arcs = [(0, 1), (1, 2), (10, 11), (11, 12), (12, 13)]  # sizes 3 and 4
+    df = edge_df(spark, arcs)
+    comp = connected_components(df)
+    ren = {r["vertex"]: r["component"] for r in renumber_by_size(comp).collect()}
+    # larger component (10..13) gets id 0, smaller (0..2) id 1
+    assert ren == {10: 0, 11: 0, 12: 0, 13: 0, 0: 1, 1: 1, 2: 1}
+    sizes = {r["component"]: r["size"] for r in component_sizes(comp).collect()}
+    assert sizes == {0: 3, 10: 4}
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_lpa_matches_oracle(spark, name):
+    arcs = GRAPHS[name]
+    w = _w(arcs)
+    df = edge_df(spark, arcs, w)
+    got = {r["vertex"]: r["label"] for r in label_propagation(df, max_iter=8).collect()}
+    want = lpa_oracle([(u, v, x) for (u, v), x in zip(arcs, w)], max_iter=8)
+    assert got == want
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_triangles_match_oracle(spark, name):
+    arcs = GRAPHS[name]
+    df = edge_df(spark, arcs)
+    per_want, total_want = triangles_oracle([(u, v, 1.0) for u, v in arcs])
+    total_got = triangle_count_global(df).first()["n_triangles"]
+    assert total_got == total_want
+    per_got = {
+        r["vertex"]: r["n_triangles"] for r in triangle_count_per_vertex(df).collect()
+    }
+    assert per_got == per_want
+
+
+def test_triangles_complete5_exact(spark):
+    df = edge_df(spark, COMPLETE5)
+    assert triangle_count_global(df).first()["n_triangles"] == 10  # C(5,3)
+    per = {r["vertex"]: r["n_triangles"] for r in triangle_count_per_vertex(df).collect()}
+    assert per == {v: 6 for v in range(5)}  # C(4,2) each
+
+
+def test_bfs_fixtures(spark):
+    # diamond from 0: dists [0,1,2,2] (reference breadth_first/seq.rs:36-52)
+    df = edge_df(spark, DIAMOND)
+    got = {
+        r["vertex"]: r["distance"] for r in bfs_distances(df, [0]).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2}
+    # nine graph vs brute-force oracle from every vertex (test_bfv.rs pattern)
+    nine = edge_df(spark, NINE)
+    multi = bfs_distances(nine, list(range(9)))
+    rows = multi.collect()
+    for s in range(9):
+        want = bfs_oracle([(u, v, 1.0) for u, v in NINE], s)
+        got = {r["vertex"]: r["distance"] for r in rows if r["source"] == s}
+        assert got == want, f"source {s}"
+
+
+def test_topsort_and_acyclicity(spark):
+    dag = edge_df(spark, DAG4)
+    layers = {r["vertex"]: r["layer"] for r in kahn_layers(dag).collect()}
+    assert layers == {0: 0, 1: 1, 2: 1, 3: 2}
+    assert is_acyclic(dag)
+    assert is_acyclic(edge_df(spark, TREE7))
+    assert not is_acyclic(edge_df(spark, CYCLE4))
+    assert not is_acyclic(edge_df(spark, [(0, 0)]))  # self-loop = cycle
+
+
+def test_degrees(spark):
+    df = edge_df(spark, DIAMOND, [2.0, 1.0, 1.0, 3.0])
+    got = {r["vertex"]: r for r in degrees(df).collect()}
+    assert got[1]["out_degree"] == 2 and got[1]["in_degree"] == 1
+    assert got[1]["out_weight"] == 4.0 and got[1]["in_weight"] == 2.0
+    assert got[3]["out_degree"] == 0 and got[3]["in_degree"] == 1

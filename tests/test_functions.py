@@ -1,0 +1,180 @@
+"""Dedup / text / similarity / multimodal functions vs python oracles."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from webgraph_algo_rs_spark.functions import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    exact_duplicates,
+    fingerprints,
+    language_id,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash64,
+    token_counts,
+)
+from webgraph_algo_rs_spark.functions.multimodal import extract_media_features
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (3, "el gato esta en la casa de la abuela"),
+    (4, "completely different text about spark engines"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    rows = {r["text_hash"]: r for r in exact_duplicates(docs).collect()}
+    h = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert rows[h]["dup_count"] == 2 and rows[h]["canonical_id"] == 0
+    assert len(rows) == 5  # 6 docs, one exact-dup pair
+
+
+def _shingle_set(text, n=3):
+    toks = text.lower().strip().split()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_minhash_and_lsh_pairs(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    # python oracle for one hash: min md5 over shingles with same salt
+    for d, text in DOCS[:5]:
+        if not text:
+            continue
+        want = min(hashlib.md5(f"h0:{s}".encode()).hexdigest() for s in _shingle_set(text))
+        assert sigs[d][0] == want, d
+    # identical docs share the full signature → always LSH candidates
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    # unrelated docs don't collide on any band (8 hashes / 4 bands)
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard(docs, spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (3, 4)], "doc_a bigint, doc_b bigint")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, pairs).collect()
+    }
+    for a, b in [(0, 1), (0, 2), (3, 4)]:
+        sa, sb = _shingle_set(DOCS[a][1]), _shingle_set(DOCS[b][1])
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(got[(a, b)] - want) < 1e-12
+    assert got[(0, 1)] == 1.0 and 0 < got[(0, 2)] < 1 and got[(3, 4)] == 0.0
+
+
+def test_simhash(docs):
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert got[0] == got[1]  # identical text → identical simhash
+    # near-dup closer in hamming distance than unrelated
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(got[0], got[2]) < ham(got[0], got[4])
+
+
+def test_token_counts_and_quality(docs):
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[0]["n_tokens"] == 9
+    assert tc[0]["n_chars"] == len(DOCS[0][1])
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert q[0]["stopword_ratio"] == 2 / 9  # 'the' twice, 'over' not a stopword
+    assert q[0]["punct_ratio"] == 0.0
+    assert q[0]["alpha_ratio"] < 1.0  # spaces
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "es"
+    assert got[4] == "und"  # no stopword from any list matches
+    assert got[5] == "und"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "other")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 8))
+    base[1] = base[0] + 0.01 * rng.standard_normal(8)  # 1 is 0's neighbor
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"), base
+
+
+def _cosine_oracle(base, q, k):
+    norms = np.linalg.norm(base, axis=1)
+    sims = base @ base[q] / (norms * norms[q])
+    order = sorted(
+        (i for i in range(len(base)) if i != q),
+        key=lambda i: (-sims[i], i),
+    )
+    return order[:k]
+
+
+def test_cosine_topk_bruteforce(vectors):
+    df, base = vectors
+    got = cosine_topk_bruteforce(df, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in range(len(base)):
+        want = _cosine_oracle(base, q, 3)
+        assert [n for _, n in sorted(by_q[q])] == want, q
+    assert [n for _, n in sorted(by_q[0])][0] == 1  # planted neighbor
+
+
+def test_cosine_topk_lsh_recall(vectors):
+    df, base = vectors
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(df, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_lsh(df, dim=8, k=3, n_planes=4, n_tables=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # the planted near-identical pair must survive LSH
+    assert (0, 1) in approx
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (0, "image", bytearray(b"\x89PNG" + b"x" * 2048), 64, 64, None),
+        (1, "audio", bytearray(b"RIFF" + b"y" * 512), None, None, 1000),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    got = {r["media_id"]: r for r in extract_media_features(media, feat_dim=16).collect()}
+    assert got[0]["n_bytes"] == 2052 and got[0]["frames_sampled"] == 2
+    assert got[1]["n_bytes"] == 516 and got[1]["frames_sampled"] == 1
+    assert len(got[0]["feature"]) == 16
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r for r in extract_media_features(media, feat_dim=16).collect()}
+    assert got[0]["feature"] == again[0]["feature"]

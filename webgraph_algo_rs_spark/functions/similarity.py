@@ -1,0 +1,165 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``cosine_topk_bruteforce`` — exact baseline: query×corpus join with the
+  dot product as a JVM-side ``aggregate``/``zip_with`` fold (whole-stage
+  codegen, no Python). The corpus side of the join is broadcast when it
+  fits; queries stream through.
+* ``cosine_topk_lsh`` — the scale path: random-hyperplane LSH (seeded,
+  deterministic) buckets vectors by sign pattern; candidates meet only
+  inside buckets (multi-probe via several independent tables), then the
+  exact kernel re-ranks. Hyperplanes are generated once on the driver
+  and folded into the plan as literals — no SciPy/model state on
+  executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-match excluded):
+    ``(query_id, neighbor_id, rank, cosine)``.
+
+    Deterministic ordering: ``(cosine desc, neighbor_id asc)``. All math
+    in float64 regardless of the stored element type.
+    """
+    if queries is None:
+        queries = embeddings
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cnorm", _norm(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+    scored = (
+        q.crossJoin(F.broadcast(corpus))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-pattern bucket per (vector, table): ``(vec_id, table_id, bucket)``.
+
+    The sign bits fold into an integer bucket with pure column
+    expressions — hyperplane weights become plan literals.
+    """
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    vec = _as_double(F.col(vec_col))
+    rows = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            w = planes[t, p]
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in w]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
+        rows.append(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                F.lit(t).alias("table_id"),
+                bucket.alias("bucket"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via LSH bucketing + exact re-rank of candidates:
+    ``(query_id, neighbor_id, rank, cosine)``. Recall < 1 by design;
+    tests check recall ≥ threshold vs the brute-force baseline.
+    """
+    buckets = lsh_buckets(embeddings, dim, n_planes, n_tables, seed, id_col, vec_col)
+    a = buckets.select("table_id", "bucket", F.col("vec_id").alias("query_id"))
+    b = buckets.select("table_id", "bucket", F.col("vec_id").alias("neighbor_id"))
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    scored = (
+        cand.join(vecs.withColumnRenamed("vid", "query_id").withColumnRenamed("v", "qv").withColumnRenamed("n", "qn"), "query_id")
+        .join(vecs.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("v", "cv").withColumnRenamed("n", "cn"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

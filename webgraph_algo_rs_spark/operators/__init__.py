@@ -1,0 +1,13 @@
+from webgraph_algo_rs_spark.operators.degrees import degrees  # noqa: F401
+from webgraph_algo_rs_spark.operators.pagerank import pagerank  # noqa: F401
+from webgraph_algo_rs_spark.operators.components import (  # noqa: F401
+    connected_components,
+    renumber_by_size,
+)
+from webgraph_algo_rs_spark.operators.label_propagation import label_propagation  # noqa: F401
+from webgraph_algo_rs_spark.operators.triangles import (  # noqa: F401
+    triangle_count_global,
+    triangle_count_per_vertex,
+)
+from webgraph_algo_rs_spark.operators.bfs import bfs_distances  # noqa: F401
+from webgraph_algo_rs_spark.operators.topsort import kahn_layers, is_acyclic  # noqa: F401

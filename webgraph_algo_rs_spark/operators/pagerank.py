@@ -1,0 +1,130 @@
+"""Weighted PageRank with dangling-mass redistribution (north rule №2).
+
+Superstep = skew-aware sparse gather-scatter: each vertex scatters
+``rank · weight / out_weight`` along its out-edges; contributions are
+partially aggregated map-side (Catalyst HashAggregate partial→final —
+the combiner the north rule asks for), shuffled on ``dst``, and folded
+into the damping formula. Dangling vertices' mass is redistributed
+uniformly each iteration.
+
+Convergence mirrors the reference's per-iteration modified-counter stop
+rule (``/root/reference/src/algo/hyperball/hyperball_impl.rs:552-570``):
+we track the L1 residual ``Σ|r_{t+1} − r_t|`` and stop at ``tol``.
+
+Per-iteration cost: exactly two Spark jobs — one to materialize the new
+state (lineage cut, SURVEY §7 hard part №1), one aggregate that yields
+residual *and* next dangling mass in a single pass.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph_algo_rs_spark.checkpoint import CheckpointManager
+from webgraph_algo_rs_spark.plans.superstep import SRC, DST, W, graph_vertices, materialize
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    checkpoint: CheckpointManager | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Returns ``(vertex:bigint, rank:double)``; ranks sum to 1.
+
+    ``checkpoint``: durable per-iteration snapshots + resume (a fresh
+    call with the same manager continues where a killed run committed).
+    ``stats``: optional dict populated with iterations/residual/edge
+    count for benchmarking.
+    """
+    spark = edges.sparkSession
+    edges = edges.select(SRC, DST, W)
+
+    vertices = materialize(graph_vertices(edges))
+    n = vertices.count()
+    if n == 0:
+        if stats is not None:
+            stats.update(iterations=0, residual=0.0, n_vertices=0, wall_sec=0.0)
+        return vertices.select("vertex", F.lit(0.0).alias("rank"))
+    out_w = edges.groupBy(SRC).agg(F.sum(W).alias("out_w"))
+    norm_edges = materialize(
+        edges.join(out_w, SRC).select(SRC, DST, (F.col(W) / F.col("out_w")).alias("nw"))
+    )
+    base_state = materialize(
+        vertices.join(out_w, vertices.vertex == out_w[SRC], "left")
+        .select("vertex", F.col("out_w").isNull().alias("dangling"))
+    )
+
+    history: list[dict] = []
+    start_iter = 0
+    state = None
+    if checkpoint is not None:
+        resumed = checkpoint.latest(spark)
+        if resumed is not None:
+            df, snap = resumed
+            state = materialize(df.select("vertex", "dangling", "rank"))
+            start_iter = snap.iteration + 1
+            history = list(snap.history)
+
+    if state is None:
+        state = materialize(
+            base_state.select("vertex", "dangling", F.lit(1.0 / n).alias("rank"))
+        )
+
+    dangling_mass = state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
+    residual = float("inf")
+    it = start_iter
+    t_start = time.time()
+    for it in range(start_iter, max_iter):
+        t0 = time.time()
+        msgs = (
+            state.join(norm_edges, state.vertex == norm_edges[SRC])
+            .groupBy(DST)
+            .agg(F.sum(F.col("rank") * F.col("nw")).alias("contrib"))
+        )
+        new_rank = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
+        )
+        stepped = materialize(
+            state.join(msgs, state.vertex == msgs[DST], "left")
+            .select(
+                "vertex",
+                "dangling",
+                new_rank.alias("rank"),
+                F.col("rank").alias("prev_rank"),
+            )
+        )
+        agg = stepped.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("residual"),
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+        ).first()
+        residual, dangling_mass = float(agg["residual"]), float(agg["dm"] or 0.0)
+        state = stepped.select("vertex", "dangling", "rank")
+        metrics = {
+            "algo": "pagerank",
+            "iteration": it,
+            "residual": residual,
+            "dangling_mass": dangling_mass,
+            "wall_ms": int((time.time() - t0) * 1000),
+        }
+        history.append(metrics)
+        if checkpoint is not None and checkpoint.should_save(it):
+            checkpoint.save(state, it, metrics, history)
+        if residual < tol:
+            break
+
+    if stats is not None:
+        stats.update(
+            iterations=it + 1 - start_iter,
+            residual=residual,
+            n_vertices=n,
+            wall_sec=time.time() - t_start,
+        )
+    return state.select("vertex", "rank")

@@ -1,0 +1,108 @@
+"""Superstep kernel library — the engine's physical-execution core.
+
+The reference's per-iteration machinery is hand-rolled: double-buffered
+state swapped each iteration
+(``/root/reference/src/algo/hyperball/hyperball_impl.rs:898-899``),
+arc-balanced work spans from a shared cursor (``:991-1006``), systolic
+delta-iteration (``:784-799``). Our Spark analogs, in order:
+
+* **double buffer** → a new state DataFrame per superstep, with
+  ``materialize()`` (eager localCheckpoint) cutting the lineage so the
+  plan does not grow per iteration (hard part №1 in SURVEY.md §7);
+* **arc-balanced splitting** → hash shuffle on ``dst`` with Catalyst's
+  partial (map-side) aggregation as the combiner, AQE skew-join for hot
+  build sides, plus explicit two-level salting (``salted_agg``) for
+  merges that have *no* native partial aggregate (sketch unions in
+  pandas UDFs);
+* **systolic / delta iteration** → algorithms keep a ``changed`` flag
+  and scatter only from the delta frontier.
+
+Everything here is DataFrame-only; no RDDs, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SRC, DST, W = "src_vertex", "dst_vertex", "weight"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage and pin the current state (eager localCheckpoint).
+
+    On a production cluster with an Iceberg catalog this is a snapshot
+    commit to the checkpoint table (see ``checkpoint.CheckpointManager``
+    for the durable variant); ``localCheckpoint`` is the fast in-cluster
+    path used between durable commits.
+    """
+    return df.localCheckpoint(eager=True)
+
+
+def graph_vertices(edges: DataFrame) -> DataFrame:
+    """Distinct vertex set of an edge table → one ``vertex`` column."""
+    return (
+        edges.select(F.col(SRC).alias("vertex"))
+        .unionByName(edges.select(F.col(DST).alias("vertex")))
+        .distinct()
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Directed → symmetric edge table, weights summed per direction pair.
+
+    The reference needs a *precomputed* transposed BvGraph on disk
+    (``/root/reference/src/main.rs:39,51``); for us the transpose is a
+    column swap — no second dataset.
+    """
+    rev = edges.select(
+        F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(W)
+    )
+    return (
+        edges.unionByName(rev)
+        .groupBy(SRC, DST)
+        .agg(F.sum(W).alias(W))
+    )
+
+
+def undirected_canonical(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edge set as ``(a < b)`` pairs, self-loops dropped."""
+    return (
+        edges.filter(F.col(SRC) != F.col(DST))
+        .select(
+            F.least(SRC, DST).alias("a"),
+            F.greatest(SRC, DST).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def salted_agg(
+    msgs: DataFrame,
+    key_col: str,
+    merge: Callable[[DataFrame, list[str]], DataFrame],
+    n_salt: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-level salted aggregation for non-combinable merges.
+
+    ``sum``/``min``/``max`` messages don't need this — Catalyst plans
+    partial→final HashAggregate, so each shuffle key receives at most one
+    pre-combined row per map partition. But a pandas-UDF merge
+    (HLL register max over binary sketches) has no partial aggregate:
+    a hot ``dst`` (ubiquitous tool vertex) would funnel its entire
+    message fan-in through one reducer. We split each key into
+    ``n_salt`` sub-keys (salt = hash of the message's origin, so the
+    split is deterministic), merge per ``(key, salt)``, then merge the
+    ≤ ``n_salt`` partials per key — the reference's arc-balanced cursor
+    (``hyperball_impl.rs:991-1006``) re-expressed as shuffle topology.
+
+    ``merge(df, group_cols) -> DataFrame`` must aggregate ``df`` to one
+    row per group and be associative.
+    """
+    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    salted = msgs.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salt)))
+    partial = merge(salted, [key_col, "_salt"])
+    return merge(partial, [key_col]).drop("_salt")

@@ -1,0 +1,2 @@
+from webgraph_algo_rs_spark.sources.transcripts import gen_transcripts  # noqa: F401
+from webgraph_algo_rs_spark.sources.tables import load_table, events_user_edges  # noqa: F401

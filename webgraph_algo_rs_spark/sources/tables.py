@@ -1,0 +1,87 @@
+"""Parquet table loaders + edge derivations over the driver testdata.
+
+``/root/testdata/sf*/`` ships TPC-H-ish tables plus ``events``,
+``documents``, ``embeddings`` (TESTDATA.md). In production these are
+Iceberg tables (``spark.read.format("iceberg")``); the sandbox reads
+plain Parquet — same DataFrame downstream either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction graph from the events stream: consecutive events in
+    global ``(ts, event_id)`` order produce an edge previous-actor →
+    current-actor; self-loops dropped; weight = multiplicity.
+
+    This is the testdata analog of the transcript reply-edge rule
+    (consecutive turns under stable ordering → edge), SQL-expressible so
+    the DuckDB oracle can replay it exactly.
+
+    Scale note: the window here is intentionally *unpartitioned* because
+    the oracle contract needs one global event order; on real data the
+    equivalent rule is per-conversation (see ``extraction.raw_edges``),
+    which partitions cleanly.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_user", F.lag("user_id").over(w))
+        .filter(F.col("prev_user").isNotNull() & (F.col("prev_user") != F.col("user_id")))
+        .groupBy(
+            F.col("prev_user").alias("src_vertex"), F.col("user_id").alias("dst_vertex")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+EVENTS_USER_EDGES_SQL = """
+WITH ordered AS (
+  SELECT user_id, lag(user_id) OVER (ORDER BY ts, event_id) AS prev_user
+  FROM events
+)
+SELECT prev_user AS src_vertex, user_id AS dst_vertex,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM ordered
+WHERE prev_user IS NOT NULL AND prev_user <> user_id
+GROUP BY 1, 2
+"""
+
+
+def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bipartite graph customer → supplier via orders ⋈ lineitem.
+
+    The bigger derived graph (≈ lineitem cardinality pre-agg). The
+    orders→lineitem join is a plain shuffle hash join on ``orderkey``;
+    customer keys are negated to keep the two vertex namespaces disjoint.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (-F.col("o_custkey") - 1).cast("long").alias("src_vertex"),
+            F.col("l_suppkey").cast("long").alias("dst_vertex"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+CUSTOMER_SUPPLIER_EDGES_SQL = """
+SELECT CAST(-o.o_custkey - 1 AS BIGINT) AS src_vertex,
+       CAST(l.l_suppkey AS BIGINT) AS dst_vertex,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""

@@ -1,0 +1,7 @@
+"""Structured Streaming surface.
+
+The reference is purely batch-iterative — no streaming/watermark
+concepts exist there (SURVEY.md §2.6) — so streaming is *additive*
+capability on the input side: incremental transcript ingestion keeping
+the edge table fresh. See ``transcripts_stream.py``.
+"""
