@@ -179,6 +179,15 @@ def q_pagerank_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, tol=1e-6, max_iter=100)
 
 
+def q_hyperball_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch geometric centralities (rows-only: approximate by
+    design; accuracy verified in tests/test_hyperball.py vs the exact
+    all-pairs BFS oracle)."""
+    from webgraph_algo_rs_spark.operators import hyperball
+
+    return hyperball(_events_edges(spark, sf_dir), log2m=8)
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webgraph_algo_rs_spark.functions import exact_duplicates
     from webgraph_algo_rs_spark.sources.tables import load_table
@@ -305,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_events": q_lpa_events,
         "edges_cust_supp": q_edges_cust_supp,
         "kahn_layers_cust_supp": q_kahn_layers_cust_supp,
+        "hyperball_events": q_hyperball_events,
         "transcript_edges": q_transcript_edges,
         "pagerank_transcripts": q_pagerank_transcripts,
         "dedup_exact_docs": q_dedup_exact_docs,

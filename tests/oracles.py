@@ -118,6 +118,106 @@ def triangles_oracle(edges):
     return per, total
 
 
+def all_pairs_oracle(edges):
+    """{(u, v): d} exact directed distances by BFS from every vertex."""
+    verts = {u for u, v, _ in edges} | {v for u, v, _ in edges}
+    out = {}
+    for s in verts:
+        for v, d in bfs_oracle(edges, s).items():
+            out[(s, v)] = d
+    return out
+
+
+def hyperball_oracle(edges):
+    """Exact per-vertex ball/centrality values (what HyperBall estimates):
+    {vertex: (reachable, sum_d, harmonic)} over directed distances."""
+    verts = {u for u, v, _ in edges} | {v for u, v, _ in edges}
+    ap = all_pairs_oracle(edges)
+    res = {}
+    for v in verts:
+        ds = [d for (s, t), d in ap.items() if s == v and d > 0]
+        res[v] = (
+            float(len(ds) + 1),  # ball includes v itself
+            float(sum(ds)),
+            float(sum(1.0 / d for d in ds)),
+        )
+    return res
+
+
+def tarjan_oracle(edges):
+    """Iterative Tarjan SCC → {vertex: component_id} with component id =
+    min vertex id in the SCC (canonical, engine-independent). Oracle-only
+    reimplementation of `/root/reference/src/algo/sccs/tarjan.rs:9-116`."""
+    adj = defaultdict(list)
+    verts = set()
+    for u, v, _ in edges:
+        adj[u].append(v)
+        verts.add(u)
+        verts.add(v)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recursed = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recursed:
+                continue
+            work.pop()
+            if work:
+                low[work[-1][0]] = min(low[work[-1][0]], low[v])
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                cid = min(scc)
+                for w in scc:
+                    comp[w] = cid
+
+    for v in sorted(verts):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def eccentricity_oracle(edges):
+    """Undirected eccentricities on the symmetrized graph:
+    {vertex: ecc} (unreachable pairs ignored, per-component)."""
+    sym = []
+    for u, v, w in edges:
+        sym.append((u, v, w))
+        sym.append((v, u, w))
+    verts = {u for u, v, _ in sym} | {v for u, v, _ in sym}
+    out = {}
+    for s in verts:
+        dist = bfs_oracle(sym, s)
+        out[s] = max(dist.values())
+    return out
+
+
 def bfs_oracle(edges, source):
     """{vertex: distance} by textbook BFS (reference correct_dists,
     tests/test_bfv.rs:13-48)."""

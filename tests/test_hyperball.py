@@ -1,0 +1,138 @@
+"""HyperBall + HLL kernel tests, mirroring the reference's strategy:
+
+* statistical accuracy trials for the HLL kernel — ≥90% of seeded
+  trials within 2·RSD (`/root/reference/tests/test_hyperloglog_counter.rs:10-52`);
+* exact-oracle comparison on hand-made fixtures — with m ≫ n the HLL
+  linear-counting regime is near-exact, so HyperBall's per-vertex
+  reachable/sum-of-distance/harmonic values must match the brute-force
+  all-pairs BFS oracle tightly (reference golden-file analog,
+  `tests/test_hyperball.rs:167-262`);
+* salted vs unsalted lockstep — identical outputs byte-for-byte (the
+  reference's parallel-vs-sequential lockstep,
+  `src/algo/hyperball/hyperball_impl.rs:1215-1307`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import DIAMOND, NINE, edge_df, er_graph
+from tests.oracles import hyperball_oracle
+
+from webgraph_algo_rs_spark.functions.hll import HllParams, log2m_for_rsd, rsd
+from webgraph_algo_rs_spark.operators.hyperball import (
+    hyperball,
+    neighbourhood_function,
+)
+
+
+# ------------------------------------------------------------- HLL kernel
+
+
+def test_hll_param_math():
+    assert log2m_for_rsd(rsd(8)) == 8
+    assert rsd(6) > rsd(8) > rsd(10)
+    p = HllParams(log2m=6)
+    assert p.m == 64 and abs(p.alpha - 0.709) < 1e-12
+
+
+@pytest.mark.parametrize("log2m", [6, 8])
+@pytest.mark.parametrize("n", [100, 1000])
+def test_hll_accuracy_trials(log2m, n):
+    """≥90% of trials within 2·RSD (reference test_hyperloglog_counter.rs)."""
+    p = HllParams(log2m=log2m)
+    trials, ok = 40, 0
+    rng = np.random.default_rng(42)
+    for t in range(trials):
+        elements = rng.integers(0, 2**62, size=n)
+        regs = p.empty(1)
+        for chunk in np.array_split(elements, max(1, n // 256)):
+            tmp = p.empty(len(chunk))
+            p.add(tmp, chunk)
+            regs[0] = np.maximum.reduce(np.vstack([regs, tmp]))
+        est = p.estimate(regs)[0]
+        if abs(est - n) <= 2 * p.rsd * n:
+            ok += 1
+    assert ok >= 0.9 * trials
+
+
+def test_hll_merge_is_union():
+    p = HllParams(log2m=8)
+    a_el = np.arange(0, 500)
+    b_el = np.arange(300, 900)
+    ra, rb, rab = p.empty(1), p.empty(1), p.empty(1)
+    for el, r in ((a_el, ra), (b_el, rb), (np.arange(0, 900), rab)):
+        tmp = p.empty(len(el))
+        p.add(tmp, el)
+        r[0] = np.maximum.reduce(tmp)
+    merged = HllParams.merge(ra, rb)
+    assert np.array_equal(merged, rab)
+
+
+def test_hll_small_range_near_exact():
+    """n ≪ m → linear counting: relative error well under 1 RSD."""
+    p = HllParams(log2m=10)
+    for n in (1, 5, 20, 50):
+        tmp = p.empty(n)
+        p.add(tmp, np.arange(n))
+        regs = np.maximum.reduce(tmp)[None, :]
+        assert abs(p.estimate(regs)[0] - n) <= max(1.0, 0.05 * n)
+
+
+# -------------------------------------------------------------- HyperBall
+
+
+@pytest.mark.parametrize("arcs", [DIAMOND, NINE], ids=["diamond", "nine"])
+def test_hyperball_matches_exact_oracle(spark, arcs):
+    edges = edge_df(spark, arcs)
+    oracle = hyperball_oracle([(u, v, 1.0) for u, v in arcs])
+    stats: dict = {}
+    rows = hyperball(edges, log2m=10, stats=stats).collect()
+    assert len(rows) == len(oracle)
+    for r in rows:
+        reach, sum_d, harm = oracle[r.vertex]
+        assert r.reachable == pytest.approx(reach, rel=0.05, abs=0.6)
+        assert r.sum_distances == pytest.approx(sum_d, rel=0.08, abs=1.0)
+        assert r.harmonic == pytest.approx(harm, rel=0.08, abs=0.6)
+        # closed-form identities (reference getters :667-725)
+        if r.sum_distances > 0:
+            assert r.closeness == pytest.approx(1.0 / r.sum_distances)
+            assert r.lin == pytest.approx(r.reachable**2 / r.sum_distances)
+        assert r.nieminen == pytest.approx(r.reachable**2 - r.sum_distances)
+    # iterations = graph's directed eccentricity bound
+    assert 1 <= stats["iterations"] <= len(oracle)
+
+
+def test_neighbourhood_function_monotone_and_converged(spark):
+    edges = edge_df(spark, NINE)
+    nf = neighbourhood_function(edges, log2m=10)
+    assert all(b >= a for a, b in zip(nf, nf[1:]))
+    # N(0) = n exactly in linear-counting regime (9 nodes, m=1024)
+    assert nf[0] == pytest.approx(9.0, abs=0.5)
+    # final value = total reachable pairs (incl. self)
+    exact_total = sum(v[0] for v in hyperball_oracle(
+        [(u, v, 1.0) for u, v in NINE]).values())
+    assert nf[-1] == pytest.approx(exact_total, rel=0.05)
+
+
+def test_hyperball_salted_lockstep(spark):
+    """Two-level salted merge must be bit-identical to unsalted (max is
+    associative/commutative; mirrors the reference's lockstep test)."""
+    arcs = er_graph(30, 0.15, seed=7)
+    edges = edge_df(spark, arcs)
+    plain = {r.vertex: r for r in hyperball(edges, log2m=6).collect()}
+    salted = {r.vertex: r for r in hyperball(edges, log2m=6, n_salt=4).collect()}
+    assert set(plain) == set(salted)
+    for v in plain:
+        assert plain[v] == salted[v]
+
+
+def test_hyperball_relative_threshold_stops_early(spark):
+    arcs = er_graph(40, 0.08, seed=11)
+    edges = edge_df(spark, arcs)
+    full: dict = {}
+    hyperball(edges, log2m=6, stats=full).count()
+    early: dict = {}
+    hyperball(edges, log2m=6, rel_threshold=0.5, stats=early).count()
+    assert early["iterations"] <= full["iterations"]

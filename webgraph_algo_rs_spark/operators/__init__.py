@@ -11,3 +11,7 @@ from webgraph_algo_rs_spark.operators.triangles import (  # noqa: F401
 )
 from webgraph_algo_rs_spark.operators.bfs import bfs_distances  # noqa: F401
 from webgraph_algo_rs_spark.operators.topsort import kahn_layers, is_acyclic  # noqa: F401
+from webgraph_algo_rs_spark.operators.hyperball import (  # noqa: F401
+    hyperball,
+    neighbourhood_function,
+)

@@ -1,0 +1,253 @@
+"""HyperBall — HLL-sketch neighbourhood function + geometric centralities
+(SURVEY §2.3 O7–O13).
+
+Re-expression of the reference's HyperBall
+(`/root/reference/src/algo/hyperball/hyperball_impl.rs`): each vertex
+carries an HLL counter approximating its out-ball; superstep *t* unions
+every vertex's counter with its successors' counters, so after *t*
+supersteps counter(v) ≈ |{w : d(v,w) ≤ t}|. Per-vertex centrality
+accumulators follow the reference's delta rules exactly:
+
+* sum of distances  ``sum_d += Δ · t``            (`:1065-1068`)
+* harmonic          ``sum_inv_d += Δ / t``         (`:1069-1072`)
+* closeness ``1/sum_d`` (0 if isolated)            (`:667-679`)
+* Lin ``count²/sum_d`` (1 if isolated)             (`:684-705`)
+* Nieminen ``count² − sum_d``                      (`:708-725`)
+* reachable-set size = final estimate              (`:732-750`)
+
+Spark-first physical plan (never per-row Python):
+
+* sketches are an ``m``-byte ``binary`` column; merges are
+  ``np.maximum`` over Arrow batches (K3, see ``functions.hll``);
+* the gather is a shuffle keyed on the *predecessor*: messages flow
+  ``successor → predecessor`` over the edge table — the reference's
+  transpose-driven systolic update (`:1095-1116`) without needing a
+  second dataset;
+* map-side combining: ``_group_merge`` hash-partitions messages by key
+  and folds each Arrow batch with a vectorized sort + ``reduceat`` —
+  the analog of the arc-balanced worker span (`:991-1006`); two-level
+  salting for hot vertices via ``plans.superstep.salted_agg``;
+* systolic delta frontier: only vertices whose sketch changed last
+  superstep send messages (mode switch `:784-799`; correct for max-merge
+  for the same reason it is for hash-min CC);
+* the driver clamps the neighbourhood function monotonically
+  (`:905-916`) and applies the reference's stop rule: no counter
+  modified, or (after 3 supersteps) relative NF increment below
+  threshold (`:552-570`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, DoubleType
+
+from webgraph_algo_rs_spark.functions.hll import HllParams
+from webgraph_algo_rs_spark.plans.superstep import (
+    SRC,
+    DST,
+    graph_vertices,
+    materialize,
+    salted_agg,
+)
+
+
+def _group_merge_factory(params: HllParams):
+    """Returns ``merge(df, group_cols) -> df`` aggregating sketches by
+    register-wise max — one row per group, vectorized per Arrow batch."""
+
+    def merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
+        schema = ", ".join(
+            [f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols] + ["sketch binary"]
+        )
+
+        def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict[tuple, np.ndarray] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keys = [pdf[c].to_numpy() for c in group_cols]
+                regs = params.from_bytes(list(pdf["sketch"]))
+                order = np.lexsort(keys[::-1])
+                keys = [k[order] for k in keys]
+                regs = regs[order]
+                same = np.ones(len(regs), dtype=bool)
+                same[0] = False
+                for k in keys:
+                    same[1:] &= k[1:] == k[:-1]
+                bounds = np.flatnonzero(~same)
+                gmax = np.maximum.reduceat(regs, bounds, axis=0)
+                for i, b in enumerate(bounds):
+                    key = tuple(k[b] for k in keys)
+                    prev = acc.get(key)
+                    acc[key] = gmax[i] if prev is None else np.maximum(prev, gmax[i])
+            if acc:
+                ks = list(acc.keys())
+                out = {c: [k[i] for k in ks] for i, c in enumerate(group_cols)}
+                out["sketch"] = [v.tobytes() for v in acc.values()]
+                yield pd.DataFrame(out)
+
+        n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        return df.repartition(int(n_part), *group_cols).mapInPandas(fold, schema)
+
+    return merge
+
+
+def hyperball(
+    edges: DataFrame,
+    log2m: int = 8,
+    seed: int = 42,
+    max_iter: int = 200,
+    rel_threshold: float | None = None,
+    n_salt: int = 0,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Run HyperBall on the out-direction of ``edges``.
+
+    Returns ``(vertex, reachable, sum_distances, closeness, harmonic,
+    lin, nieminen)``. ``stats`` (optional dict) receives
+    ``neighbourhood_function`` (list, monotone-clamped), ``iterations``.
+
+    ``rel_threshold``: reference's relative-increment stop
+    (`hyperball_impl.rs:565-570`); ``None`` runs to full stabilization.
+    ``n_salt > 0`` enables two-level salted merging for hot vertices.
+    """
+    params = HllParams(log2m=log2m, seed=seed)
+    merge = _group_merge_factory(params)
+
+    @F.pandas_udf(BinaryType())
+    def init_sketch(v: pd.Series) -> pd.Series:
+        regs = params.singletons(v.to_numpy(dtype=np.int64))
+        return pd.Series(HllParams.to_bytes(regs))
+
+    @F.pandas_udf(DoubleType())
+    def est_udf(sk: pd.Series) -> pd.Series:
+        regs = params.from_bytes(list(sk))
+        return pd.Series(params.estimate(regs))
+
+    @F.pandas_udf(BinaryType())
+    def merge2_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ra = params.from_bytes(list(a))
+        out = []
+        bl = list(b)
+        for i in range(len(ra)):
+            if bl[i] is None:
+                out.append(ra[i].tobytes())
+            else:
+                rb = np.frombuffer(bl[i], dtype=np.uint8)
+                out.append(np.maximum(ra[i], rb).tobytes())
+        return pd.Series(out)
+
+    arcs = edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    state = materialize(
+        graph_vertices(edges)  # vertex set from the raw edges: a vertex
+        # with only self-loops still has a ball {v} (reference counts it)
+        .withColumn("sketch", init_sketch("vertex"))
+        .withColumn("est", est_udf("sketch"))
+        .select(
+            "vertex",
+            "sketch",
+            "est",
+            F.lit(0.0).alias("sum_d"),
+            F.lit(0.0).alias("sum_inv_d"),
+            F.lit(True).alias("changed"),
+        )
+    )
+    nf = [float(state.agg(F.sum("est")).first()[0] or 0.0)]
+
+    it = 0
+    t_start = time.time()
+    for it in range(1, max_iter + 1):
+        frontier = state.filter("changed").select(
+            F.col("vertex").alias("f_vertex"), F.col("sketch").alias("f_sketch")
+        )
+        # successor → predecessor messages (transpose-free gather)
+        msgs = arcs.join(
+            frontier, arcs[DST] == F.col("f_vertex")
+        ).select(F.col(SRC).alias("mk"), F.col("f_sketch").alias("sketch"))
+        if n_salt > 0:
+            merged = salted_agg(msgs, "mk", merge, n_salt=n_salt)
+        else:
+            merged = merge(msgs, ["mk"])
+        merged = merged.withColumnRenamed("sketch", "in_sketch")
+        t = float(it)
+        stepped = materialize(
+            state.join(merged, state.vertex == merged.mk, "left")
+            .withColumn("new_sketch", merge2_udf("sketch", F.col("in_sketch")))
+            .withColumn("new_est", est_udf("new_sketch"))
+            .withColumn(
+                "delta", F.greatest(F.col("new_est") - F.col("est"), F.lit(0.0))
+            )
+            .select(
+                "vertex",
+                F.col("new_sketch").alias("sketch"),
+                F.col("new_est").alias("est"),
+                (F.col("sum_d") + F.col("delta") * F.lit(t)).alias("sum_d"),
+                (F.col("sum_inv_d") + F.col("delta") / F.lit(t)).alias("sum_inv_d"),
+                (F.col("new_sketch") != state["sketch"]).alias("changed"),
+            )
+        )
+        agg = stepped.agg(
+            F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("nc"),
+            F.sum("est").alias("nf"),
+        ).first()
+        state = stepped
+        changed = int(agg["nc"] or 0)
+        nf.append(max(float(agg["nf"] or 0.0), nf[-1]))  # monotone clamp :905-916
+        if changed == 0:
+            break
+        if (
+            rel_threshold is not None
+            and it > 3
+            and nf[-2] > 0
+            and nf[-1] / nf[-2] < 1.0 + rel_threshold
+        ):
+            break
+
+    if stats is not None:
+        stats.update(
+            iterations=it,
+            neighbourhood_function=nf,
+            wall_sec=time.time() - t_start,
+        )
+
+    count2 = F.col("est") * F.col("est")
+    return state.select(
+        "vertex",
+        F.col("est").alias("reachable"),
+        F.col("sum_d").alias("sum_distances"),
+        F.when(F.col("sum_d") == 0.0, 0.0)
+        .otherwise(1.0 / F.col("sum_d"))
+        .alias("closeness"),
+        F.col("sum_inv_d").alias("harmonic"),
+        F.when(F.col("sum_d") == 0.0, 1.0)
+        .otherwise(count2 / F.col("sum_d"))
+        .alias("lin"),
+        (count2 - F.col("sum_d")).alias("nieminen"),
+    )
+
+
+def neighbourhood_function(
+    edges: DataFrame,
+    log2m: int = 8,
+    seed: int = 42,
+    max_iter: int = 200,
+    rel_threshold: float | None = None,
+) -> list[float]:
+    """Global neighbourhood function N(t) = Σ_v |ball_t(v)| (O8;
+    accumulate `hyperball_impl.rs:1047-1051,1137`, getter `:626-629`)."""
+    stats: dict = {}
+    hyperball(
+        edges,
+        log2m=log2m,
+        seed=seed,
+        max_iter=max_iter,
+        rel_threshold=rel_threshold,
+        stats=stats,
+    ).count()
+    return stats["neighbourhood_function"]
