@@ -179,6 +179,48 @@ def q_pagerank_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, tol=1e-6, max_iter=100)
 
 
+def q_scc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import strongly_connected_components
+
+    return strongly_connected_components(_events_edges(spark, sf_dir))
+
+
+def q_scc_condensation_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation of the bipartite customer→supplier graph — every
+    vertex is a singleton SCC, so the DAG keeps all cross arcs (the
+    events graph at sf0.01 collapses to one SCC → empty DAG, a
+    worthless check)."""
+    from webgraph_algo_rs_spark.operators import (
+        scc_condensation,
+        strongly_connected_components,
+    )
+    from webgraph_algo_rs_spark.sources.tables import customer_supplier_edges
+
+    edges = customer_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return scc_condensation(edges, strongly_connected_components(edges)).select(
+        "c_src", "c_dst", "n_arcs"
+    )
+
+
+def q_symmetry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import is_symmetric
+    from webgraph_algo_rs_spark.plans.superstep import symmetrize
+
+    edges = _events_edges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(is_symmetric(edges), is_symmetric(symmetrize(edges)))],
+        "directed_is_symmetric boolean, symmetrized_is_symmetric boolean",
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.functions import embedding_near_dup_pairs
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+
+
 def q_hyperball_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch geometric centralities (rows-only: approximate by
     design; accuracy verified in tests/test_hyperball.py vs the exact
@@ -315,6 +357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_cust_supp": q_edges_cust_supp,
         "kahn_layers_cust_supp": q_kahn_layers_cust_supp,
         "hyperball_events": q_hyperball_events,
+        "scc_events": q_scc_events,
+        "scc_condensation_cust_supp": q_scc_condensation_cust_supp,
+        "symmetry_events": q_symmetry_events,
+        "embedding_near_dups": q_embedding_near_dups,
         "transcript_edges": q_transcript_edges,
         "pagerank_transcripts": q_pagerank_transcripts,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -414,6 +460,47 @@ SELECT vertex, in_weight FROM iw ORDER BY in_weight DESC, vertex LIMIT 10
   WHERE r.d < 300
 )
 SELECT v AS vertex, CAST(min(d) AS BIGINT) AS distance FROM r GROUP BY v
+""",
+        "scc_events": _EG + """
+, reach(s, d) AS (
+  SELECT src_vertex, dst_vertex FROM eg
+  UNION
+  SELECT r.s, e.dst_vertex FROM reach r JOIN eg e ON r.d = e.src_vertex
+), mutual AS (
+  SELECT r1.s AS v, r1.d AS w
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+)
+SELECT v.v AS vertex,
+       CAST(least(v.v, coalesce(m.minw, v.v)) AS BIGINT) AS component
+FROM verts v
+LEFT JOIN (SELECT v, min(w) AS minw FROM mutual GROUP BY v) m ON v.v = m.v
+""",
+        "scc_condensation_cust_supp": """
+WITH cs AS (
+  SELECT CAST(-o.o_custkey - 1 AS BIGINT) AS src, CAST(l.l_suppkey AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+)
+-- bipartite: every vertex is its own SCC, so component(v) = v and the
+-- condensation keeps every distinct arc with n_arcs = 1
+SELECT src AS c_src, dst AS c_dst, CAST(1 AS BIGINT) AS n_arcs FROM cs
+""",
+        "symmetry_events": _EG + """
+SELECT
+  ((SELECT count(*) FROM (
+      SELECT src_vertex AS s, dst_vertex AS d FROM eg
+      EXCEPT
+      SELECT dst_vertex, src_vertex FROM eg)) = 0) AS directed_is_symmetric,
+  ((SELECT count(*) FROM (
+      SELECT s, d FROM sym
+      EXCEPT
+      SELECT d, s FROM sym)) = 0) AS symmetrized_is_symmetric
+""",
+        "embedding_near_dups": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4
 """,
         "edges_cust_supp": """
 SELECT CAST(-o.o_custkey - 1 AS BIGINT) AS src_vertex,

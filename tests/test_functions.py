@@ -178,3 +178,50 @@ def test_multimodal_plumbing(spark):
     # deterministic: same payload → same features
     again = {r["media_id"]: r for r in extract_media_features(media, feat_dim=16).collect()}
     assert got[0]["feature"] == again[0]["feature"]
+
+
+def test_embedding_near_dup_pairs(vectors):
+    from webgraph_algo_rs_spark.functions import embedding_near_dup_pairs
+
+    df, base = vectors
+    arr = np.array(base, dtype=np.float64)
+    norms = np.linalg.norm(arr, axis=1)
+    sims = (arr @ arr.T) / np.outer(norms, norms)
+    want = {
+        (a, b)
+        for a in range(len(base))
+        for b in range(a + 1, len(base))
+        if sims[a, b] >= 0.95
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert got == want
+    assert (0, 1) in got  # the planted near-identical pair
+    # LSH path: candidates-only, must still find the planted pair
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, use_lsh=True, dim=8
+        ).collect()
+    }
+    assert lsh <= want and (0, 1) in lsh
+
+
+def test_symmetry_checks(spark):
+    from tests.conftest import CYCLE4, DAG4, edge_df
+    from webgraph_algo_rs_spark.operators import is_symmetric, is_transpose_of
+    from webgraph_algo_rs_spark.plans.superstep import symmetrize
+
+    dag = edge_df(spark, DAG4)
+    sym_pairs = edge_df(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+    assert not is_symmetric(dag)
+    assert is_symmetric(sym_pairs)
+    assert is_symmetric(symmetrize(dag))
+    transpose = dag.selectExpr(
+        "dst_vertex as src_vertex", "src_vertex as dst_vertex", "weight"
+    )
+    assert is_transpose_of(dag, transpose)
+    assert not is_transpose_of(dag, dag)
+    assert is_transpose_of(sym_pairs, sym_pairs)  # symmetric graph = own transpose

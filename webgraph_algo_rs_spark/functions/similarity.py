@@ -73,6 +73,62 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a, id_b, cosine)``
+    with ``id_a < id_b`` and ``cosine >= threshold``.
+
+    Exact path: broadcast self-join + JVM-side dot product (fine while
+    one side broadcasts). ``use_lsh=True`` restricts the join to LSH
+    bucket collisions first (the scale path — candidates only, recall
+    < 1 by design, re-ranked exactly).
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path")
+        buckets = lsh_buckets(embeddings, dim, id_col=id_col, vec_col=vec_col)
+        a = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
+        b = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
+        pairs = (
+            a.join(b, ["table_id", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        j = (
+            pairs.join(
+                vecs.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")),
+                "id_a",
+            )
+            .join(
+                vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+                "id_b",
+            )
+        )
+    else:
+        left = vecs.select(
+            F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        right = vecs.select(
+            F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        j = left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_planes, dim))

@@ -15,3 +15,11 @@ from webgraph_algo_rs_spark.operators.hyperball import (  # noqa: F401
     hyperball,
     neighbourhood_function,
 )
+from webgraph_algo_rs_spark.operators.scc import (  # noqa: F401
+    scc_condensation,
+    strongly_connected_components,
+)
+from webgraph_algo_rs_spark.operators.checks import (  # noqa: F401
+    is_symmetric,
+    is_transpose_of,
+)
