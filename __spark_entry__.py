@@ -221,6 +221,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
 
 
+def q_eccentricities_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import eccentricities
+
+    return eccentricities(_events_edges(spark, sf_dir)).select("vertex", "ecc")
+
+
+def q_radius_diameter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webgraph_algo_rs_spark.operators import radius_diameter
+
+    return radius_diameter(_events_edges(spark, sf_dir))
+
+
 def q_hyperball_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch geometric centralities (rows-only: approximate by
     design; accuracy verified in tests/test_hyperball.py vs the exact
@@ -360,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_events": q_scc_events,
         "scc_condensation_cust_supp": q_scc_condensation_cust_supp,
         "symmetry_events": q_symmetry_events,
+        "eccentricities_events": q_eccentricities_events,
+        "radius_diameter_events": q_radius_diameter_events,
         "embedding_near_dups": q_embedding_near_dups,
         "transcript_edges": q_transcript_edges,
         "pagerank_transcripts": q_pagerank_transcripts,
@@ -474,6 +488,32 @@ SELECT v.v AS vertex,
        CAST(least(v.v, coalesce(m.minw, v.v)) AS BIGINT) AS component
 FROM verts v
 LEFT JOIN (SELECT v, min(w) AS minw FROM mutual GROUP BY v) m ON v.v = m.v
+""",
+        "eccentricities_events": _EG + """
+, r(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT r.s, e.d, r.d + 1 FROM r JOIN sym e ON r.v = e.s WHERE r.d < 100
+), dist AS (
+  SELECT s, v, min(d) AS d FROM r GROUP BY s, v
+)
+SELECT s AS vertex, CAST(max(d) AS BIGINT) AS ecc FROM dist GROUP BY s
+""",
+        "radius_diameter_events": _EG + """
+, r(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT r.s, e.d, r.d + 1 FROM r JOIN sym e ON r.v = e.s WHERE r.d < 100
+), dist AS (
+  SELECT s, v, min(d) AS d FROM r GROUP BY s, v
+), ecc AS (
+  SELECT s AS vertex, max(d) AS ecc FROM dist GROUP BY s
+)
+SELECT CAST(min(ecc) AS BIGINT) AS radius,
+       CAST(max(ecc) AS BIGINT) AS diameter,
+       (SELECT CAST(vertex AS BIGINT) FROM ecc ORDER BY ecc ASC, vertex ASC LIMIT 1) AS radius_vertex,
+       (SELECT CAST(vertex AS BIGINT) FROM ecc ORDER BY ecc DESC, vertex ASC LIMIT 1) AS diameter_vertex
+FROM ecc
 """,
         "scc_condensation_cust_supp": """
 WITH cs AS (

@@ -136,3 +136,12 @@ def test_hyperball_relative_threshold_stops_early(spark):
     early: dict = {}
     hyperball(edges, log2m=6, rel_threshold=0.5, stats=early).count()
     assert early["iterations"] <= full["iterations"]
+
+
+def test_hyperball_discounted_centrality(spark):
+    """discount f(t) = 1/t must reproduce the harmonic column exactly
+    (reference discount registration hyperball_impl.rs:284-296)."""
+    edges = edge_df(spark, DIAMOND)
+    rows = hyperball(edges, log2m=10, discount=lambda t: 1.0 / t).collect()
+    for r in rows:
+        assert r.discounted == pytest.approx(r.harmonic)

@@ -96,3 +96,39 @@ def test_scc_condensation_nine(spark):
         assert comp[r.bridge_src] == r.c_src
         assert comp[r.bridge_dst] == r.c_dst
         assert r.c_src != r.c_dst
+
+
+def test_radial_vertices_nine(spark):
+    """Radial = can reach the largest SCC (computer.rs:488-534). For the
+    NINE fixture compute the expectation by brute force."""
+    from collections import defaultdict
+
+    from webgraph_algo_rs_spark.operators.scc import radial_vertices
+
+    want_comp = tarjan_oracle([(u, v, 1.0) for u, v in NINE])
+    sizes = defaultdict(int)
+    for c in want_comp.values():
+        sizes[c] += 1
+    largest = max(sizes, key=lambda c: (sizes[c], -c))
+    members = {v for v, c in want_comp.items() if c == largest}
+    # brute-force reachability to any member
+    adj = defaultdict(list)
+    for u, v in NINE:
+        adj[u].append(v)
+
+    def reaches(s):
+        seen, stack = {s}, [s]
+        while stack:
+            x = stack.pop()
+            if x in members:
+                return True
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return False
+
+    verts = {u for u, v in NINE} | {v for u, v in NINE}
+    want = {v: reaches(v) for v in verts}
+    got = {r.vertex: r.is_radial for r in radial_vertices(edge_df(spark, NINE)).collect()}
+    assert got == want

@@ -16,8 +16,13 @@ from webgraph_algo_rs_spark.operators.hyperball import (  # noqa: F401
     neighbourhood_function,
 )
 from webgraph_algo_rs_spark.operators.scc import (  # noqa: F401
+    radial_vertices,
     scc_condensation,
     strongly_connected_components,
+)
+from webgraph_algo_rs_spark.operators.sumsweep import (  # noqa: F401
+    eccentricities,
+    radius_diameter,
 )
 from webgraph_algo_rs_spark.operators.checks import (  # noqa: F401
     is_symmetric,

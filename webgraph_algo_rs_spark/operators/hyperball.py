@@ -105,17 +105,23 @@ def hyperball(
     max_iter: int = 200,
     rel_threshold: float | None = None,
     n_salt: int = 0,
+    discount=None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Run HyperBall on the out-direction of ``edges``.
 
     Returns ``(vertex, reachable, sum_distances, closeness, harmonic,
-    lin, nieminen)``. ``stats`` (optional dict) receives
+    lin, nieminen[, discounted])``. ``stats`` (optional dict) receives
     ``neighbourhood_function`` (list, monotone-clamped), ``iterations``.
 
     ``rel_threshold``: reference's relative-increment stop
     (`hyperball_impl.rs:565-570`); ``None`` runs to full stabilization.
     ``n_salt > 0`` enables two-level salted merging for hot vertices.
+    ``discount``: optional ``t -> weight`` callable — the reference's
+    user-defined discounted centrality ``sum += Δ · f(t)``
+    (`hyperball_impl.rs:284-296,1073-1080`); evaluated driver-side per
+    superstep (t is a plan constant), accumulated in a ``discounted``
+    column.
     """
     params = HllParams(log2m=log2m, seed=seed)
     merge = _group_merge_factory(params)
@@ -155,6 +161,7 @@ def hyperball(
             "est",
             F.lit(0.0).alias("sum_d"),
             F.lit(0.0).alias("sum_inv_d"),
+            F.lit(0.0).alias("sum_disc"),
             F.lit(True).alias("changed"),
         )
     )
@@ -189,6 +196,11 @@ def hyperball(
                 F.col("new_est").alias("est"),
                 (F.col("sum_d") + F.col("delta") * F.lit(t)).alias("sum_d"),
                 (F.col("sum_inv_d") + F.col("delta") / F.lit(t)).alias("sum_inv_d"),
+                (
+                    F.col("sum_disc")
+                    + F.col("delta")
+                    * F.lit(float(discount(it)) if discount is not None else 0.0)
+                ).alias("sum_disc"),
                 (F.col("new_sketch") != state["sketch"]).alias("changed"),
             )
         )
@@ -217,8 +229,8 @@ def hyperball(
         )
 
     count2 = F.col("est") * F.col("est")
-    return state.select(
-        "vertex",
+    cols = [
+        F.col("vertex"),
         F.col("est").alias("reachable"),
         F.col("sum_d").alias("sum_distances"),
         F.when(F.col("sum_d") == 0.0, 0.0)
@@ -229,7 +241,10 @@ def hyperball(
         .otherwise(count2 / F.col("sum_d"))
         .alias("lin"),
         (count2 - F.col("sum_d")).alias("nieminen"),
-    )
+    ]
+    if discount is not None:
+        cols.append(F.col("sum_disc").alias("discounted"))
+    return state.select(*cols)
 
 
 def neighbourhood_function(

@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webgraph_algo_rs_spark.checkpoint import CheckpointManager
-from webgraph_algo_rs_spark.plans.superstep import SRC, DST, W, graph_vertices, materialize
+from webgraph_algo_rs_spark.plans.superstep import (
+    SRC,
+    DST,
+    W,
+    bucketize,
+    graph_vertices,
+    materialize,
+)
 
 
 def pagerank(
@@ -34,6 +41,7 @@ def pagerank(
     max_iter: int = 200,
     checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
+    bucketize_edges: bool = False,
 ) -> DataFrame:
     """Returns ``(vertex:bigint, rank:double)``; ranks sum to 1.
 
@@ -52,9 +60,15 @@ def pagerank(
             stats.update(iterations=0, residual=0.0, n_vertices=0, wall_sec=0.0)
         return vertices.select("vertex", F.lit(0.0).alias("rank"))
     out_w = edges.groupBy(SRC).agg(F.sum(W).alias("out_w"))
-    norm_edges = materialize(
-        edges.join(out_w, SRC).select(SRC, DST, (F.col(W) / F.col("out_w")).alias("nw"))
+    norm_plan = edges.join(out_w, SRC).select(
+        SRC, DST, (F.col(W) / F.col("out_w")).alias("nw")
     )
+    if bucketize_edges:
+        # big-graph path: pay one bucketed write so every superstep
+        # shuffles only the rank vector, never the edge table
+        norm_edges = bucketize(norm_plan, SRC, table_name="wga_pr_edges")
+    else:
+        norm_edges = materialize(norm_plan)
     base_state = materialize(
         vertices.join(out_w, vertices.vertex == out_w[SRC], "left")
         .select("vertex", F.col("out_w").isNull().alias("dangling"))

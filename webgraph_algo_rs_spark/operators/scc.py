@@ -157,6 +157,45 @@ def strongly_connected_components(
     return out
 
 
+def radial_vertices(
+    edges: DataFrame, components: DataFrame | None = None
+) -> DataFrame:
+    """Vertices that can reach the largest SCC: ``(vertex, is_radial)``.
+
+    Mirrors ``compute_radial_vertices``
+    (`/root/reference/src/algo/exact_sum_sweep/computer.rs:488-534`):
+    one backward BFS (BFS over reversed arcs) from a representative of
+    the largest SCC (ties: min component id, reference uses argmax scan
+    order; representative = min member id for determinism).
+    """
+    from webgraph_algo_rs_spark.operators.bfs import bfs_distances
+
+    comps = components if components is not None else strongly_connected_components(edges)
+    largest = (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max_by(
+                "component", F.struct(F.col("n"), (-F.col("component")).alias("t"))
+            ).alias("c")
+        )
+        .first()["c"]
+    )
+    rep = (
+        comps.filter(F.col("component") == F.lit(largest))
+        .agg(F.min("vertex"))
+        .first()[0]
+    )
+    transpose = edges.select(
+        F.col(DST).alias(SRC), F.col(SRC).alias(DST), "weight"
+    )
+    reached = bfs_distances(transpose, [int(rep)]).select("vertex")
+    verts = graph_vertices(edges)
+    return verts.join(
+        reached.withColumn("is_radial", F.lit(True)), "vertex", "left"
+    ).select("vertex", F.coalesce("is_radial", F.lit(False)).alias("is_radial"))
+
+
 def scc_condensation(edges: DataFrame, components: DataFrame) -> DataFrame:
     """SCC-DAG: ``(c_src, c_dst, n_arcs, bridge_src, bridge_dst)``.
 

@@ -42,7 +42,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep Spark's default 10MB broadcast threshold. A larger one
+        # lets Catalyst broadcast a mid-size *edge table* inside the
+        # iterative superstep joins — a driver-serial HashedRelation
+        # build every iteration that destroys scaling (measured: 4.6M
+        # edges broadcast per superstep ≈ flat wall-clock from 2→32
+        # cores). Genuinely small dims are broadcast explicitly.
+        # Shuffled-hash beats sort-merge for the state⋈messages joins
+        # (state is pre-aggregated, no ordering to exploit).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

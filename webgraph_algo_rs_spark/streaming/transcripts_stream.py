@@ -41,10 +41,19 @@ def incremental_edges(
     Returns the StreamingQuery; callers ``awaitTermination`` or stop.
     """
 
+    # One shared vertex dictionary over the full table: per-batch
+    # re-derivation would assign inconsistent dense ids across batches.
+    # In production this is a persistent, append-only dictionary table;
+    # new keys get ids past the current max (dense_ids is deterministic
+    # in the key set, so re-deriving over the full table is equivalent).
+    from webgraph_algo_rs_spark.extraction import build_vertices
+
+    vertices = build_vertices(full_transcripts).localCheckpoint(eager=True)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         touched = batch.select("conv_id").distinct()
         scoped = full_transcripts.join(F.broadcast(touched), "conv_id", "left_semi")
-        edges = extract_edges(scoped)
+        edges = extract_edges(scoped, vertices=vertices)
         (
             edges.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
