@@ -152,3 +152,30 @@ def test_degrees(spark):
     assert got[1]["out_degree"] == 2 and got[1]["in_degree"] == 1
     assert got[1]["out_weight"] == 4.0 and got[1]["in_weight"] == 2.0
     assert got[3]["out_degree"] == 0 and got[3]["in_degree"] == 1
+
+
+def test_bucketized_variants_match(spark, tmp_path):
+    """bucketize_edges=True must be value-identical for CC / LPA / PageRank
+    (the bucketed table only changes physical layout)."""
+    import pytest as _pytest
+
+    from tests.conftest import NINE, edge_df
+    from webgraph_algo_rs_spark.operators import (
+        connected_components,
+        label_propagation,
+        pagerank,
+    )
+
+    edges = edge_df(spark, NINE)
+    for fn, key in (
+        (connected_components, "component"),
+        (label_propagation, "label"),
+    ):
+        a = {r.vertex: r[key] for r in fn(edges).collect()}
+        b = {r.vertex: r[key] for r in fn(edges, bucketize_edges=True).collect()}
+        assert a == b, fn.__name__
+    pa = {r.vertex: r.rank for r in pagerank(edges).collect()}
+    pb = {r.vertex: r.rank for r in pagerank(edges, bucketize_edges=True).collect()}
+    assert set(pa) == set(pb)
+    for v in pa:
+        assert pa[v] == _pytest.approx(pb[v], abs=1e-12)

@@ -83,7 +83,7 @@ def run(cores: int, iters: int, edges_path: str) -> dict:
 
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     edges_path = ensure_input(n_convs)
     r2 = run(2, iters, edges_path)
     r8 = run(8, iters, edges_path)

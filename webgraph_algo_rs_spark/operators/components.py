@@ -31,6 +31,7 @@ from webgraph_algo_rs_spark.checkpoint import CheckpointManager
 from webgraph_algo_rs_spark.plans.superstep import (
     SRC,
     DST,
+    bucketize,
     graph_vertices,
     materialize,
     symmetrize,
@@ -42,10 +43,19 @@ def connected_components(
     max_iter: int = 10_000,
     checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
+    bucketize_edges: bool = False,
 ) -> DataFrame:
-    """Returns ``(vertex:bigint, component:bigint)`` on the symmetrized graph."""
+    """Returns ``(vertex:bigint, component:bigint)`` on the symmetrized graph.
+
+    ``bucketize_edges``: big-graph path — persist the symmetrized arcs
+    bucketed on ``src`` once so each superstep shuffles only labels.
+    """
     spark = edges.sparkSession
-    sym = materialize(symmetrize(edges).select(SRC, DST))
+    sym_plan = symmetrize(edges).select(SRC, DST)
+    if bucketize_edges:
+        sym = bucketize(sym_plan, SRC, table_name="wga_cc_edges")
+    else:
+        sym = materialize(sym_plan)
 
     history: list[dict] = []
     start_iter = 0

@@ -25,6 +25,7 @@ from webgraph_algo_rs_spark.plans.superstep import (
     SRC,
     DST,
     W,
+    bucketize,
     graph_vertices,
     materialize,
     symmetrize,
@@ -36,10 +37,18 @@ def label_propagation(
     max_iter: int = 20,
     checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
+    bucketize_edges: bool = False,
 ) -> DataFrame:
-    """Returns ``(vertex:bigint, label:bigint)``."""
+    """Returns ``(vertex:bigint, label:bigint)``.
+
+    ``bucketize_edges``: big-graph path — persist the symmetrized arcs
+    bucketed on ``src`` once so each superstep shuffles only labels.
+    """
     spark = edges.sparkSession
-    sym = materialize(symmetrize(edges))
+    if bucketize_edges:
+        sym = bucketize(symmetrize(edges), SRC, table_name="wga_lpa_edges")
+    else:
+        sym = materialize(symmetrize(edges))
 
     history: list[dict] = []
     start_iter = 0

@@ -42,6 +42,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
     bucketize_edges: bool = False,
+    lineage_cut_every: int = 6,
 ) -> DataFrame:
     """Returns ``(vertex:bigint, rank:double)``; ranks sum to 1.
 
@@ -63,10 +64,13 @@ def pagerank(
     norm_plan = edges.join(out_w, SRC).select(
         SRC, DST, (F.col(W) / F.col("out_w")).alias("nw")
     )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if bucketize_edges:
         # big-graph path: pay one bucketed write so every superstep
         # shuffles only the rank vector, never the edge table
-        norm_edges = bucketize(norm_plan, SRC, table_name="wga_pr_edges")
+        norm_edges = bucketize(
+            norm_plan, SRC, n_buckets=n_buckets, table_name="wga_pr_edges"
+        )
     else:
         norm_edges = materialize(norm_plan)
     base_state = materialize(
@@ -89,6 +93,13 @@ def pagerank(
         state = materialize(
             base_state.select("vertex", "dangling", F.lit(1.0 / n).alias("rank"))
         )
+    if bucketize_edges:
+        # persist-chain mode: keep the state hash-partitioned on vertex
+        # (same bucket count as the edge table) and persist instead of
+        # localCheckpoint — a checkpoint forgets the partitioning and
+        # forces two state re-shuffles per superstep (measured 2× on the
+        # apply join). Lineage is cut every ``lineage_cut_every`` iters.
+        state = state.repartition(n_buckets, "vertex").persist()
 
     dangling_mass = state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
     residual = float("inf")
@@ -106,20 +117,32 @@ def pagerank(
             + F.lit(damping)
             * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
         )
-        stepped = materialize(
-            state.join(msgs, state.vertex == msgs[DST], "left")
-            .select(
-                "vertex",
-                "dangling",
-                new_rank.alias("rank"),
-                F.col("rank").alias("prev_rank"),
-            )
+        stepped_plan = state.join(msgs, state.vertex == msgs[DST], "left").select(
+            "vertex",
+            "dangling",
+            new_rank.alias("rank"),
+            F.col("rank").alias("prev_rank"),
         )
+        if bucketize_edges:
+            stepped = stepped_plan.persist()  # materialized by the agg below
+            # Each superstep references the state twice (scatter + apply),
+            # so the un-truncated plan DOUBLES per iteration — cut the
+            # lineage every few supersteps to keep Catalyst analysis
+            # bounded (2^4 small subtrees max) while persisted, known
+            # partitioning carries across the iterations in between.
+            if (it - start_iter) % lineage_cut_every == lineage_cut_every - 1:
+                chk = materialize(stepped).repartition(n_buckets, "vertex").persist()
+                stepped.unpersist()
+                stepped = chk
+        else:
+            stepped = materialize(stepped_plan)
         agg = stepped.agg(
             F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("residual"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
         ).first()
         residual, dangling_mass = float(agg["residual"]), float(agg["dm"] or 0.0)
+        if bucketize_edges:
+            state.unpersist()
         state = stepped.select("vertex", "dangling", "rank")
         metrics = {
             "algo": "pagerank",

@@ -99,10 +99,22 @@ def bucketize(
     equivalent. Write cost is paid once and amortized over all
     iterations.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # the in-memory catalog forgets tables across sessions but their
+    # files survive in the warehouse dir; remove orphan locations or the
+    # write fails with LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh:
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(wh).path or wh
+        shutil.rmtree(f"{loc.rstrip('/')}/{table_name}", ignore_errors=True)
     df.write.bucketBy(n_buckets, key).sortBy(key).mode("overwrite").saveAsTable(
         table_name
     )
-    return df.sparkSession.table(table_name)
+    return spark.table(table_name)
 
 
 def salted_agg(
