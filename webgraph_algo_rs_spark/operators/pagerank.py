@@ -93,6 +93,7 @@ def pagerank(
         state = materialize(
             base_state.select("vertex", "dangling", F.lit(1.0 / n).alias("rank"))
         )
+    prev_handle = None
     if bucketize_edges:
         # persist-chain mode: keep the state hash-partitioned on vertex
         # (same bucket count as the edge table) and persist instead of
@@ -100,6 +101,7 @@ def pagerank(
         # forces two state re-shuffles per superstep (measured 2× on the
         # apply join). Lineage is cut every ``lineage_cut_every`` iters.
         state = state.repartition(n_buckets, "vertex").persist()
+        prev_handle = state
 
     dangling_mass = state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
     residual = float("inf")
@@ -142,7 +144,13 @@ def pagerank(
         ).first()
         residual, dangling_mass = float(agg["residual"]), float(agg["dm"] or 0.0)
         if bucketize_edges:
-            state.unpersist()
+            # The agg above materialized `stepped`; release the previous
+            # iteration's *persisted handle*. (`state` is a `.select()`
+            # projection of it, and CacheManager only uncaches plans that
+            # sameResult the cached plan — unpersisting the projection is
+            # a silent no-op that leaks one full state copy per superstep.)
+            prev_handle.unpersist()
+            prev_handle = stepped
         state = stepped.select("vertex", "dangling", "rank")
         metrics = {
             "algo": "pagerank",
@@ -164,4 +172,12 @@ def pagerank(
             n_vertices=n,
             wall_sec=time.time() - t_start,
         )
-    return state.select("vertex", "rank")
+    result = state.select("vertex", "rank")
+    if bucketize_edges:
+        # Pin the result independently of the session-scoped bucketed
+        # table and the persist chain: its lineage otherwise scans
+        # `wga_pr_edges_*`, which a later run may overwrite, silently
+        # corrupting recomputation if cached blocks are evicted.
+        result = materialize(result)
+        prev_handle.unpersist()
+    return result

@@ -22,12 +22,19 @@ Everything here is DataFrame-only; no RDDs, no per-row Python.
 
 from __future__ import annotations
 
+import itertools
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SRC, DST, W = "src_vertex", "dst_vertex", "weight"
+
+# per-process sequence for bucketized-table names: two runs in one
+# session (or two processes sharing a warehouse dir) must never clobber
+# each other's bucketed edge tables mid-algorithm
+_BUCKET_SEQ = itertools.count()
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -100,6 +107,9 @@ def bucketize(
     iterations.
     """
     spark = df.sparkSession
+    # unique physical name per call: pid guards cross-process warehouse
+    # sharing, the counter guards interleaved runs in one session
+    table_name = f"{table_name}_{os.getpid()}_{next(_BUCKET_SEQ)}"
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # the in-memory catalog forgets tables across sessions but their
     # files survive in the warehouse dir; remove orphan locations or the
@@ -132,15 +142,20 @@ def salted_agg(
     (HLL register max over binary sketches) has no partial aggregate:
     a hot ``dst`` (ubiquitous tool vertex) would funnel its entire
     message fan-in through one reducer. We split each key into
-    ``n_salt`` sub-keys (salt = hash of the message's origin, so the
-    split is deterministic), merge per ``(key, salt)``, then merge the
+    ``n_salt`` sub-keys, merge per ``(key, salt)``, then merge the
     ≤ ``n_salt`` partials per key — the reference's arc-balanced cursor
     (``hyperball_impl.rs:991-1006``) re-expressed as shuffle topology.
+
+    The salt defaults to a hash over **all message columns**, which is
+    deterministic under task retry / stage recompute (a requirement for
+    any associative-but-non-idempotent merge; ``monotonically_increasing_id``
+    would re-deal rows to different salts on recompute). Pass ``salt_on``
+    to salt on a specific origin column instead.
 
     ``merge(df, group_cols) -> DataFrame`` must aggregate ``df`` to one
     row per group and be associative.
     """
-    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
-    salted = msgs.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salt)))
+    salt_cols = [F.col(salt_on)] if salt_on else [F.col(c) for c in msgs.columns]
+    salted = msgs.withColumn("_salt", F.pmod(F.hash(*salt_cols), F.lit(n_salt)))
     partial = merge(salted, [key_col, "_salt"])
     return merge(partial, [key_col]).drop("_salt")

@@ -20,7 +20,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_user_edges(
+    spark: SparkSession, sf_dir: str, n_ranges: int | None = None
+) -> DataFrame:
     """Interaction graph from the events stream: consecutive events in
     global ``(ts, event_id)`` order produce an edge previous-actor →
     current-actor; self-loops dropped; weight = multiplicity.
@@ -29,15 +31,55 @@ def events_user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (consecutive turns under stable ordering → edge), SQL-expressible so
     the DuckDB oracle can replay it exactly.
 
-    Scale note: the window here is intentionally *unpartitioned* because
-    the oracle contract needs one global event order; on real data the
-    equivalent rule is per-conversation (see ``extraction.raw_edges``),
-    which partitions cleanly.
+    Scale note: semantics need one *global* event order, but a naive
+    ``Window.orderBy`` funnels the whole table through a single-task
+    sort. Instead we range-partition on the ordering key
+    (``repartitionByRange`` — a parallel, sampled range shuffle), run the
+    ``lag`` *within* each contiguous range, and stitch the ≤ ``n_ranges``
+    boundary rows (each range's last actor feeds the next range's first
+    row) via a tiny broadcast join. Identical output, no single-task
+    stage; the stitch table is bounded by the partition count, so the
+    driver collect is O(partitions) at any data scale.
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    w = Window.orderBy("ts", "event_id")
+    n_ranges = n_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Range boundaries as driver-side literals (one approxQuantile pass):
+    # the bucket expression is then *pure*, so every consumer below
+    # assigns identical buckets without materializing an intermediate.
+    # Equal-ts rows always share a bucket (strict > comparison), so
+    # bucket order + (ts, event_id) order within a bucket = total order.
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = sorted(
+        set(
+            ev.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("_tsn")).approxQuantile(
+                "_tsn", probs, 0.001
+            )
+        )
+        if probs
+        else []
+    )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(
+            F.unix_micros(F.col("ts").cast("timestamp")) > F.lit(int(b)), 1
+        ).otherwise(0)
+    bucketed = ev.withColumn("_bkt", bucket)
+    w = Window.partitionBy("_bkt").orderBy("ts", "event_id")
+    lagged = bucketed.withColumn("prev_user", F.lag("user_id").over(w))
+    # last actor per non-empty bucket → first row of the next non-empty
+    # bucket (lag is NULL only there); empty buckets are skipped by
+    # construction because only observed _bkt values appear
+    lasts = sorted(
+        bucketed.groupBy("_bkt")
+        .agg(F.max_by("user_id", F.struct(F.col("ts"), F.col("event_id"))).alias("u"))
+        .collect(),
+        key=lambda r: r["_bkt"],
+    )
+    stitch = [(lasts[i + 1]["_bkt"], lasts[i]["u"]) for i in range(len(lasts) - 1)]
+    stitch_df = spark.createDataFrame(stitch, "_bkt int, _stitch_user bigint")
     return (
-        ev.withColumn("prev_user", F.lag("user_id").over(w))
+        lagged.join(F.broadcast(stitch_df), "_bkt", "left")
+        .withColumn("prev_user", F.coalesce("prev_user", "_stitch_user"))
         .filter(F.col("prev_user").isNotNull() & (F.col("prev_user") != F.col("user_id")))
         .groupBy(
             F.col("prev_user").alias("src_vertex"), F.col("user_id").alias("dst_vertex")
