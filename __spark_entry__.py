@@ -57,6 +57,109 @@ WITH RECURSIVE ordered AS (
 )
 """
 
+# Transcript-graph CTE: regenerates the arithmetic-deterministic
+# transcript table (sources.transcripts.sql_transcripts) and replays the
+# extraction pipeline — reply edges (per-conv lag), tool edges, dense
+# vertex dictionary ordered by key — producing edge CTE ``teg`` and
+# vertex CTE ``tverts(v)``.
+def _transcript_graph_sql(n_convs: int = 300) -> str:
+    from webgraph_algo_rs_spark.sources.transcripts import sql_transcripts_duckdb
+
+    return (
+        "WITH RECURSIVE "
+        + sql_transcripts_duckdb(n_convs).strip().lstrip()
+        + """
+, auth AS (
+  SELECT conv_id, turn_idx, tool, conv_id || '/' || role AS akey
+  FROM transcripts_sql
+), reply AS (
+  SELECT src_key, dst_key FROM (
+    SELECT lag(akey) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src_key,
+           akey AS dst_key
+    FROM auth
+  ) WHERE src_key IS NOT NULL
+), tooling AS (
+  SELECT akey AS src_key, 'tool/' || tool AS dst_key FROM auth WHERE tool IS NOT NULL
+), allkeys AS (
+  SELECT DISTINCT akey AS key FROM auth
+  UNION
+  SELECT DISTINCT 'tool/' || tool FROM auth WHERE tool IS NOT NULL
+), dict AS (
+  SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS vid FROM allkeys
+), teg AS (
+  SELECT ds.vid AS src_vertex, dd.vid AS dst_vertex, a.weight
+  FROM (SELECT src_key, dst_key, CAST(count(*) AS DOUBLE) AS weight
+        FROM (SELECT * FROM reply UNION ALL SELECT * FROM tooling)
+        GROUP BY 1, 2) a
+  JOIN dict ds ON a.src_key = ds.key
+  JOIN dict dd ON a.dst_key = dd.key
+), tverts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src_vertex AS v FROM teg UNION ALL SELECT dst_vertex FROM teg
+  )
+)"""
+    )
+
+
+def _pagerank_sql(edge_cte: str, verts_cte: str, iters: int = 30, d: float = 0.85) -> str:
+    """Fixed-iteration weighted PageRank with dangling-mass
+    redistribution as a DuckDB recursive CTE — operand-for-operand the
+    formula of operators/pagerank.py (teleport + d·(contrib + dm/n)),
+    so float results agree to well under the gate's 9-sig-fig rounding.
+    Literals are cast to DOUBLE (DuckDB parses bare decimals as DECIMAL,
+    which would change the arithmetic)."""
+    dd, omd = repr(float(d)), repr(1.0 - float(d))
+    return f"""
+, pr_ow AS (SELECT src_vertex AS s, sum(weight) AS ow FROM {edge_cte} GROUP BY 1)
+, pr_ne AS (SELECT e.src_vertex AS s, e.dst_vertex AS dst, e.weight / o.ow AS nw
+            FROM {edge_cte} e JOIN pr_ow o ON e.src_vertex = o.s)
+, pr_v AS (SELECT v, (v NOT IN (SELECT s FROM pr_ow)) AS dangling FROM {verts_cte})
+, pr_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_v)
+, pr(it, v, dangling, rank) AS (
+  SELECT 0, v, dangling, CAST(1.0 AS DOUBLE) / (SELECT n FROM pr_n) FROM pr_v
+  UNION ALL
+  SELECT p.it + 1, p.v, p.dangling,
+         CAST({omd} AS DOUBLE) / (SELECT n FROM pr_n)
+         + CAST({dd} AS DOUBLE) * (coalesce(c.contrib, CAST(0.0 AS DOUBLE))
+             + (SELECT coalesce(sum(rank) FILTER (WHERE dangling), 0.0) FROM pr)
+               / (SELECT n FROM pr_n))
+  FROM pr p
+  LEFT JOIN (SELECT ne.dst, sum(p2.rank * ne.nw) AS contrib
+             FROM pr p2 JOIN pr_ne ne ON p2.v = ne.s GROUP BY ne.dst) c
+    ON p.v = c.dst
+  WHERE p.it < {iters}
+)
+SELECT v AS vertex, rank FROM pr WHERE it = {iters}
+"""
+
+
+def _lpa_sql(edge_cte: str, verts_cte: str, iters: int = 10) -> str:
+    """Synchronous weight-majority label propagation (min-label
+    tie-break) as a fixed-iteration recursive CTE. The Spark operator
+    stops early at a fixpoint; running the CTE the full ``iters`` rounds
+    is equivalent because a fixpoint is stable under further synchronous
+    updates."""
+    return f"""
+, symw AS (
+  SELECT s, d, sum(w) AS w FROM (
+    SELECT src_vertex AS s, dst_vertex AS d, weight AS w FROM {edge_cte}
+    UNION ALL
+    SELECT dst_vertex, src_vertex, weight FROM {edge_cte}
+  ) GROUP BY s, d
+), lpa(it, v, label) AS (
+  SELECT 0, v, v FROM {verts_cte}
+  UNION ALL
+  SELECT it + 1, dst, label FROM (
+    SELECT l.it AS it, e.d AS dst, l.label AS label, sum(e.w) AS ws
+    FROM lpa l JOIN symw e ON l.v = e.s
+    WHERE l.it < {iters}
+    GROUP BY l.it, e.d, l.label
+  ) QUALIFY row_number() OVER (PARTITION BY dst ORDER BY ws DESC, label ASC) = 1
+)
+SELECT v AS vertex, CAST(label AS BIGINT) AS label FROM lpa WHERE it = {iters}
+"""
+
+
 # DuckDB shingle + minhash fragments (word 3-grams, salted md5 family —
 # mirrors functions/dedup.py exactly)
 _SHINGLES = """
@@ -137,9 +240,13 @@ def q_bfs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration form (tol=0, 30 supersteps) so the DuckDB
+    recursive-CTE oracle replays the identical computation; the
+    convergence-stop form (tol=1e-6) is verified in tests/ against the
+    numpy oracle and exercised by bench.py."""
     from webgraph_algo_rs_spark.operators import pagerank
 
-    return pagerank(_events_edges(spark, sf_dir), tol=1e-6, max_iter=100)
+    return pagerank(_events_edges(spark, sf_dir), tol=0.0, max_iter=30)
 
 
 def q_lpa_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,21 +269,26 @@ def q_kahn_layers_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_transcript_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule pipeline on synthetic transcripts (rows-only check;
-    full verification in tests/test_extraction.py vs a pandas oracle)."""
+    """North-rule extraction pipeline (reply + tool edges, dense vertex
+    dictionary) over the arithmetic-deterministic transcript source that
+    the DuckDB oracle regenerates formula-for-formula. The Zipf-skewed
+    RNG source is exercised in tests/test_extraction.py (pandas oracle)
+    and bench.py."""
     from webgraph_algo_rs_spark.extraction import extract_edges
-    from webgraph_algo_rs_spark.sources.transcripts import gen_transcripts
+    from webgraph_algo_rs_spark.sources.transcripts import sql_transcripts
 
-    return extract_edges(gen_transcripts(spark, 200, seed=42))
+    return extract_edges(sql_transcripts(spark, 300))
 
 
 def q_pagerank_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the extracted transcript graph
+    (see q_pagerank_events for why the gate form pins iterations)."""
     from webgraph_algo_rs_spark.extraction import extract_edges
     from webgraph_algo_rs_spark.operators import pagerank
-    from webgraph_algo_rs_spark.sources.transcripts import gen_transcripts
+    from webgraph_algo_rs_spark.sources.transcripts import sql_transcripts
 
-    edges = extract_edges(gen_transcripts(spark, 200, seed=42))
-    return pagerank(edges, tol=1e-6, max_iter=100)
+    edges = extract_edges(sql_transcripts(spark, 300))
+    return pagerank(edges, tol=0.0, max_iter=30)
 
 
 def q_scc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +517,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "edges_events": _EG + "SELECT src_vertex, dst_vertex, weight FROM eg",
+        "pagerank_events": _EG + _pagerank_sql("eg", "verts"),
+        "lpa_events": _EG + _lpa_sql("eg", "verts"),
+        "transcript_edges": _transcript_graph_sql()
+        + "SELECT src_vertex, dst_vertex, weight FROM teg",
+        "pagerank_transcripts": _transcript_graph_sql() + _pagerank_sql("teg", "tverts"),
         "degrees_events": _EG + """
 SELECT v.v AS vertex,
        CAST(coalesce(o.cnt, 0) AS BIGINT) AS out_degree,

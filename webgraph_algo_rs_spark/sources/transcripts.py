@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -70,6 +71,62 @@ def _conv_frame(conv_id: int, seed: int, max_turns: int) -> pd.DataFrame:
             "ts": ts,
         }
     )
+
+
+def sql_transcripts(spark: SparkSession, n_convs: int) -> DataFrame:
+    """Deterministic transcripts from *pure integer arithmetic* — no RNG.
+
+    Same ``input_hint`` schema as :func:`gen_transcripts`, but every
+    column is a closed-form expression over ``(conv_id, turn_idx)``, so
+    an external SQL engine (the DuckDB oracle gate) can regenerate the
+    identical table formula-for-formula. Used by the driver-contract
+    queries that need a cross-engine-verifiable transcript source;
+    the Zipf-skewed ``gen_transcripts`` remains the benchmark/skew input.
+    """
+    convs = spark.range(0, n_convs).select(
+        F.col("id").alias("cid"),
+        (F.lit(2) + (F.col("id") * 7919) % 29).cast("int").alias("n_turns"),
+    )
+    t = convs.select(
+        "cid", F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx")
+    )
+    role = F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant")
+    has_tool = (F.col("turn_idx") % 2 == 1) & (
+        (F.col("cid") * 31 + F.col("turn_idx") * 17) % 10 < 4
+    )
+    return t.select(
+        F.format_string("conv-%09d", "cid").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.format_string(
+            "conv-%09d:%d:w%d", "cid", "turn_idx", (F.col("cid") + F.col("turn_idx")) % 16
+        ).alias("text"),
+        F.when(
+            has_tool,
+            F.format_string(
+                "tool_%03d", (F.col("cid") * 13 + F.col("turn_idx") * 7) % 64
+            ),
+        ).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("cid") * 300 + F.col("turn_idx") * 7
+        ).alias("ts"),
+    )
+
+
+def sql_transcripts_duckdb(n_convs: int) -> str:
+    """DuckDB CTE fragment producing the exact table of
+    :func:`sql_transcripts` (columns conv_id, turn_idx, role, tool)."""
+    return f"""
+conv AS (SELECT i AS cid, 2 + (i * 7919) % 29 AS n FROM range(0, {n_convs}) r(i)),
+turns AS (SELECT cid, unnest(generate_series(0, n - 1)) AS turn_idx FROM conv),
+transcripts_sql AS (
+  SELECT printf('conv-%09d', cid) AS conv_id,
+         turn_idx,
+         CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN turn_idx % 2 = 1 AND (cid * 31 + turn_idx * 17) % 10 < 4
+              THEN printf('tool_%03d', (cid * 13 + turn_idx * 7) % 64) END AS tool
+  FROM turns
+)"""
 
 
 def gen_transcripts(
