@@ -160,8 +160,9 @@ SELECT v AS vertex, CAST(label AS BIGINT) AS label FROM lpa WHERE it = {iters}
 """
 
 
-# DuckDB shingle + minhash fragments (word 3-grams, salted md5 family —
-# mirrors functions/dedup.py exactly)
+# DuckDB shingle + minhash fragments (word 3-grams; one md5 per shingle
+# split into 32-bit halves, affine family (a + i·b) mod 2^32 — mirrors
+# functions/dedup.py exactly)
 _SHINGLES = """
   [array_to_string(toks[i:i+2], ' ')
    for i in generate_series(1, greatest(len(toks) - 2, 1))]
@@ -169,7 +170,10 @@ _SHINGLES = """
 
 
 def _mh_sql(i: int) -> str:
-    return f"list_min([md5('h{i}:' || s) for s in sh])"
+    return (
+        f"list_min([(('0x' || substr(h, 1, 8))::BIGINT"
+        f" + {i} * ('0x' || substr(h, 9, 8))::BIGINT) % 4294967296 for h in hx])"
+    )
 
 
 _DOCS_SH = f"""
@@ -178,6 +182,8 @@ WITH t AS (
   FROM documents
 ), shingled AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM t
+), hashed AS (
+  SELECT doc_id, sh, [md5(s) for s in sh] AS hx FROM shingled
 )
 """
 
@@ -508,9 +514,10 @@ def oracle_sql() -> dict[str, str]:
 , sigs AS (
   SELECT doc_id,
          {mh} AS m
-  FROM shingled
+  FROM hashed
 ), banded AS (
-  SELECT doc_id, i AS band_idx, m[2*i+1] || '|' || m[2*i+2] AS band_hash
+  SELECT doc_id, i AS band_idx,
+         CAST(m[2*i+1] AS VARCHAR) || '|' || CAST(m[2*i+2] AS VARCHAR) AS band_hash
   FROM sigs, generate_series(0, 3) AS t(i)
 )
 """.format(mh="[" + ", ".join(_mh_sql(i) for i in range(8)) + "]")
@@ -734,7 +741,31 @@ FROM documents
         "minhash_docs": _DOCS_SH + f"""
 SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
        {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
-FROM shingled
+FROM hashed
+""",
+        "simhash_docs": """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM tk
+), g AS (
+  SELECT doc_id, count(*) AS cnt,
+         """ + ",\n         ".join(
+            f"sum(({'hi' if j >= 32 else 'lo'} >> {j % 32}) & 1) AS b{j}"
+            for j in range(64)
+        ) + """
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(""" + "\n         + ".join(
+            f"CASE WHEN 2 * b{j} > cnt THEN {1 << j if j < 63 else -9223372036854775808} ELSE 0 END"
+            for j in range(64)
+        ) + """ AS BIGINT) AS simhash
+FROM g
 """,
         "lsh_pairs_docs": _DOCS_SH + lsh_bands + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -52,12 +52,21 @@ def _shingle_set(text, n=3):
 
 def test_minhash_and_lsh_pairs(docs):
     sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
-    # python oracle for one hash: min md5 over shingles with same salt
+    # python oracle for the affine family: one md5 per shingle split into
+    # 32-bit halves (a, b); member i = min (a + i*b) mod 2^32
+    def member(text, i):
+        vals = []
+        for s in _shingle_set(text):
+            h = hashlib.md5(s.encode()).hexdigest()
+            a, b = int(h[:8], 16), int(h[8:16], 16)
+            vals.append((a + i * b) % 2**32)
+        return min(vals)
+
     for d, text in DOCS[:5]:
         if not text:
             continue
-        want = min(hashlib.md5(f"h0:{s}".encode()).hexdigest() for s in _shingle_set(text))
-        assert sigs[d][0] == want, d
+        assert sigs[d][0] == member(text, 0), d
+        assert sigs[d][3] == member(text, 3), d
     # identical docs share the full signature → always LSH candidates
     pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
     assert (0, 1) in pairs

@@ -138,16 +138,17 @@ def hyperball(
 
     @F.pandas_udf(BinaryType())
     def merge2_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        ra = params.from_bytes(list(a))
-        out = []
-        bl = list(b)
-        for i in range(len(ra)):
-            if bl[i] is None:
-                out.append(ra[i].tobytes())
-            else:
-                rb = np.frombuffer(bl[i], dtype=np.uint8)
-                out.append(np.maximum(ra[i], rb).tobytes())
-        return pd.Series(out)
+        # Masked batch max: one np.maximum over the rows that received an
+        # incoming sketch — no per-row Python. This sits in the apply
+        # join of *every* superstep, so it must stay a whole-batch
+        # vectorized kernel (the reference's word-parallel merge,
+        # hyper_log_log_logic.rs:461-568, re-expressed over Arrow).
+        ra = params.from_bytes(list(a)).copy()
+        mask = b.notna().to_numpy()
+        if mask.any():
+            rb = params.from_bytes(list(b[mask]))
+            ra[mask] = np.maximum(ra[mask], rb)
+        return pd.Series(HllParams.to_bytes(ra))
 
     arcs = edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
     state = materialize(
