@@ -39,8 +39,12 @@ def bfs_distances(
     frontier = materialize(
         sources.select("source", F.col("source").alias("vertex"))
     )
-    visited = frontier
-    out = [frontier.withColumn("distance", F.lit(0).cast("long"))]
+    # The visited set carries the distance, so it doubles as the result
+    # accumulator: it is materialized every level anyway (the claim
+    # anti-join needs it), which keeps the final plan O(1) deep instead
+    # of one union child per level — a 10^4-diameter chain would
+    # otherwise blow up Catalyst analysis before any data moves.
+    visited = materialize(frontier.withColumn("distance", F.lit(0).cast("long")))
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier.vertex == e[SRC])
@@ -51,9 +55,9 @@ def bfs_distances(
         frontier = materialize(nxt)
         if frontier.isEmpty():
             break
-        out.append(frontier.withColumn("distance", F.lit(depth).cast("long")))
-        visited = materialize(visited.unionByName(frontier))
-    res = out[0]
-    for f in out[1:]:
-        res = res.unionByName(f)
-    return res
+        visited = materialize(
+            visited.unionByName(
+                frontier.withColumn("distance", F.lit(depth).cast("long"))
+            )
+        )
+    return visited

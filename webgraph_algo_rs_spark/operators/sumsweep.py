@@ -77,9 +77,11 @@ def _tagged_bfs(sym: DataFrame, seeds: DataFrame) -> DataFrame:
         )
         if new.isEmpty():
             return dist
-        # each level is checkpointed; the union-of-levels plan is only
-        # diameter-deep, so no per-level checkpoint of the union needed
-        dist = dist.unionByName(new)
+        # materialize the growing union each level: the anti-join above
+        # re-scans `dist` every level, so a lazy diameter-deep union
+        # chain would be re-executed per level AND blow up Catalyst
+        # analysis on 10^4-diameter graphs
+        dist = materialize(dist.unionByName(new))
         frontier = new
 
 

@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from webgraph_algo_rs_spark.plans.superstep import SRC, DST, graph_vertices, materialize
+from webgraph_algo_rs_spark.plans.superstep import (
+    SRC,
+    DST,
+    UnionAccumulator,
+    graph_vertices,
+    materialize,
+)
 
 
 def kahn_layers(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
@@ -27,13 +33,14 @@ def kahn_layers(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
     """
     remaining_edges = materialize(edges.select(SRC, DST).distinct())
     remaining_vertices = materialize(graph_vertices(remaining_edges))
-    layers = []
+    # bounded-depth result plan on 10^4-layer graphs (see UnionAccumulator)
+    layers = UnionAccumulator()
     for layer in range(max_iter):
         with_in = remaining_edges.select(F.col(DST).alias("vertex")).distinct()
         zero_in = materialize(remaining_vertices.join(with_in, "vertex", "left_anti"))
         if zero_in.isEmpty():
             break  # leftovers are cyclic
-        layers.append(zero_in.withColumn("layer", F.lit(layer).cast("long")))
+        layers.add(zero_in.withColumn("layer", F.lit(layer).cast("long")))
         remaining_vertices = materialize(
             remaining_vertices.join(zero_in, "vertex", "left_anti")
         )
@@ -44,12 +51,9 @@ def kahn_layers(edges: DataFrame, max_iter: int = 10_000) -> DataFrame:
         )
         if remaining_vertices.isEmpty():
             break
-    spark = edges.sparkSession
-    if not layers:
-        return spark.createDataFrame([], "vertex bigint, layer bigint")
-    res = layers[0]
-    for l in layers[1:]:
-        res = res.unionByName(l)
+    res = layers.result()
+    if res is None:
+        return edges.sparkSession.createDataFrame([], "vertex bigint, layer bigint")
     return res
 
 

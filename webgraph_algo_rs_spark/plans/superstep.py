@@ -48,6 +48,43 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+class UnionAccumulator:
+    """Accumulate per-round result frames with bounded plan depth.
+
+    Deep driver loops (Kahn layers, SCC rounds, BFS levels) that fold
+    ``unionByName`` once per round build a plan with one child per round
+    — Catalyst analysis cost grows linearly (10⁴-round graphs time out
+    before any data moves). This helper folds the pending frames into a
+    single *materialized* frame every ``fold_every`` appends, so plan
+    depth is O(fold_every) and the extra rewrite cost is
+    O(total_rows · rounds / fold_every).
+    """
+
+    def __init__(self, fold_every: int = 64):
+        self.fold_every = fold_every
+        self._acc: DataFrame | None = None
+        self._pending: list[DataFrame] = []
+
+    def add(self, df: DataFrame) -> None:
+        self._pending.append(df)
+        if len(self._pending) >= self.fold_every:
+            self._acc = materialize(self._union())
+            self._pending = []
+
+    def _union(self) -> DataFrame:
+        frames = ([self._acc] if self._acc is not None else []) + self._pending
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def result(self) -> DataFrame | None:
+        """Final union (≤ fold_every + 1 children); None if nothing added."""
+        if self._acc is None and not self._pending:
+            return None
+        return self._union()
+
+
 def graph_vertices(edges: DataFrame) -> DataFrame:
     """Distinct vertex set of an edge table → one ``vertex`` column."""
     return (
