@@ -661,9 +661,10 @@ SELECT
       SELECT d, s FROM sym)) = 0) AS symmetrized_is_symmetric
 """,
         "embedding_near_dups": """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     vn AS (SELECT vec_id, e FROM v WHERE list_sum([x * x for x in e]) > 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM vn a JOIN vn b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.4
 """,
         "edges_cust_supp": """
@@ -791,9 +792,11 @@ JOIN sets sb ON p.doc_b = sb.doc_id
 """,
         "ann_topk": """
 WITH q AS (
-  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 10 AND list_sum([x * x for x in embedding::DOUBLE[]]) > 0
 ), c AS (
   SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE list_sum([x * x for x in embedding::DOUBLE[]]) > 0
 ), s AS (
   SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim
   FROM q, c WHERE qid <> nid

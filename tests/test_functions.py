@@ -234,3 +234,41 @@ def test_symmetry_checks(spark):
     assert is_transpose_of(dag, transpose)
     assert not is_transpose_of(dag, dag)
     assert is_transpose_of(sym_pairs, sym_pairs)  # symmetric graph = own transpose
+
+
+def test_near_dup_zero_norm_and_auto_lsh(vectors, spark):
+    """ADVICE r1: a zero-norm embedding made cosine NaN, which passes
+    every >= filter under Spark's NaN-is-greatest ordering; and the
+    O(n^2) exact join must not be the default at scale."""
+    from webgraph_algo_rs_spark.functions import embedding_near_dup_pairs
+
+    df, base = vectors
+    withzero = df.unionByName(
+        spark.createDataFrame(
+            [(99, [0.0] * 8)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(withzero, threshold=0.0).collect()
+    }
+    assert got and not any(99 in p for p in got)
+    # auto policy: tiny corpus → exact path (same answer as explicit exact)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95, use_lsh=False).collect()
+    }
+    assert auto == exact
+    # corpus above the threshold → LSH picked automatically (dim inferred),
+    # candidates-only subset that still finds the planted pair
+    lsh_auto = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, lsh_auto_threshold=5
+        ).collect()
+    }
+    assert (0, 1) in lsh_auto and lsh_auto <= exact

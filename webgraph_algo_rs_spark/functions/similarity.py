@@ -47,13 +47,23 @@ def cosine_topk_bruteforce(
     """
     if queries is None:
         queries = embeddings
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
-    ).withColumn("cnorm", _norm(F.col("cvec")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
-    ).withColumn("qnorm", _norm(F.col("qvec")))
+    # zero-norm guard: 0/0 cosine is NaN, and Spark orders NaN *above*
+    # every number, so an all-zero vector would outrank real neighbors
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cvec"),
+        )
+        .withColumn("cnorm", _norm(F.col("cvec")))
+        .filter(F.col("cnorm") > 0)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+        )
+        .withColumn("qnorm", _norm(F.col("qvec")))
+        .filter(F.col("qnorm") > 0)
+    )
     scored = (
         q.crossJoin(F.broadcast(corpus))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -78,23 +88,35 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    use_lsh: bool | None = None,
     dim: int | None = None,
+    lsh_auto_threshold: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(id_a, id_b, cosine)``
     with ``id_a < id_b`` and ``cosine >= threshold``.
 
-    Exact path: broadcast self-join + JVM-side dot product (fine while
-    one side broadcasts). ``use_lsh=True`` restricts the join to LSH
-    bucket collisions first (the scale path — candidates only, recall
-    < 1 by design, re-ranked exactly).
+    Exact path: broadcast self-join + JVM-side dot product — O(n²)
+    comparisons, only sane while one side broadcasts. ``use_lsh=True``
+    restricts the join to LSH bucket collisions first (candidates only,
+    recall < 1 by design, re-ranked exactly). Default (``None``) picks
+    automatically: corpora above ``lsh_auto_threshold`` rows take the
+    LSH path, so callers can't accidentally run the quadratic join at
+    100 TB scale. Zero-norm vectors are excluded (cosine undefined; a
+    NaN would otherwise pass every ``>=`` filter under Spark's
+    NaN-is-greatest ordering).
     """
-    vecs = embeddings.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("n", _norm(F.col("v")))
+    if use_lsh is None:
+        use_lsh = embeddings.count() > lsh_auto_threshold
+    vecs = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("n", _norm(F.col("v")))
+        .filter(F.col("n") > 0)
+    )
     if use_lsh:
         if dim is None:
-            raise ValueError("dim is required for the LSH path")
+            dim = len(embeddings.select(vec_col).first()[0])
         buckets = lsh_buckets(embeddings, dim, id_col=id_col, vec_col=vec_col)
         a = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
         b = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
@@ -201,9 +223,13 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    vecs = embeddings.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("n", _norm(F.col("v")))
+    vecs = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("n", _norm(F.col("v")))
+        .filter(F.col("n") > 0)
+    )
     scored = (
         cand.join(vecs.withColumnRenamed("vid", "query_id").withColumnRenamed("v", "qv").withColumnRenamed("n", "qn"), "query_id")
         .join(vecs.withColumnRenamed("vid", "neighbor_id").withColumnRenamed("v", "cv").withColumnRenamed("n", "cn"), "neighbor_id")

@@ -35,30 +35,61 @@ def incremental_edges(
     full_transcripts: DataFrame,
     out_path: str,
     checkpoint_path: str,
+    dict_path: str | None = None,
 ):
     """writeStream with per-batch recompute of touched conversations.
 
     Returns the StreamingQuery; callers ``awaitTermination`` or stop.
+
+    The vertex dictionary is **append-only across batches**: it is
+    seeded from ``full_transcripts``, and every batch assigns keys it
+    sees for the first time dense ids past the current max (the
+    production design: a persistent dictionary table). A snapshot-once
+    dictionary silently *dropped* edges whose participant/tool first
+    appeared in data arriving after stream start, because
+    ``extract_edges``'s dictionary join is inner (ADVICE r1). When
+    ``dict_path`` is given, the current dictionary is persisted after
+    each batch so consumers can resolve ids → keys.
     """
+    from webgraph_algo_rs_spark.extraction import build_vertices, dense_ids
 
-    # One shared vertex dictionary over the full table: per-batch
-    # re-derivation would assign inconsistent dense ids across batches.
-    # In production this is a persistent, append-only dictionary table;
-    # new keys get ids past the current max (dense_ids is deterministic
-    # in the key set, so re-deriving over the full table is equivalent).
-    from webgraph_algo_rs_spark.extraction import build_vertices
-
-    vertices = build_vertices(full_transcripts).localCheckpoint(eager=True)
+    seeded = build_vertices(full_transcripts).localCheckpoint(eager=True)
+    start_max = seeded.agg(F.max("vertex_id")).first()[0]
+    state = {"vertices": seeded, "next_id": (start_max if start_max is not None else -1) + 1}
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        touched = batch.select("conv_id").distinct()
-        scoped = full_transcripts.join(F.broadcast(touched), "conv_id", "left_semi")
-        edges = extract_edges(scoped, vertices=vertices)
+        batch_pinned = batch.localCheckpoint(eager=True)
+        touched = batch_pinned.select("conv_id").distinct()
+        # the batch rows themselves are unioned in: late-arriving
+        # conversations may be absent from the stream-start snapshot
+        scoped = (
+            full_transcripts.join(F.broadcast(touched), "conv_id", "left_semi")
+            .unionByName(batch_pinned)
+            .dropDuplicates(["conv_id", "turn_idx"])
+        )
+        keys = build_vertices(scoped).select("kind", "key")
+        new_keys = keys.join(state["vertices"].select("key"), "key", "left_anti")
+        added = dense_ids(new_keys.select("key"), "key", "vertex_id")
+        if not added.isEmpty():
+            added = new_keys.join(added, "key").select(
+                "kind",
+                "key",
+                (F.col("vertex_id") + F.lit(state["next_id"])).alias("vertex_id"),
+            )
+            state["vertices"] = state["vertices"].unionByName(added).localCheckpoint(
+                eager=True
+            )
+            state["next_id"] = (
+                int(state["vertices"].agg(F.max("vertex_id")).first()[0]) + 1
+            )
+        edges = extract_edges(scoped, vertices=state["vertices"])
         (
             edges.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(out_path)
         )
+        if dict_path is not None:
+            state["vertices"].write.mode("overwrite").parquet(dict_path)
 
     return (
         transcripts_stream.writeStream.foreachBatch(process)
