@@ -204,3 +204,42 @@ def test_deep_chain_bounded_plans(spark):
     plan = layers._jdf.queryExecution().executedPlan().toString()
     # 151 layers folded every 64 → far fewer union children than layers
     assert plan.count("Scan ExistingRDD") <= 70, plan.count("Scan ExistingRDD")
+
+
+def test_bfs_predecessors_and_filter(spark):
+    """Pred output (reference ParFairPred events) and the node-filter
+    contract (visits/mod.rs:81-89): every non-source pred is a valid
+    tree parent (distance +1 along an existing arc), and a filtered
+    visit equals BFS over the induced subgraph."""
+    from webgraph_algo_rs_spark.operators import bfs_distances
+
+    edges = edge_df(spark, NINE)
+    rows = bfs_distances(edges, [1], predecessors=True).collect()
+    dist = {r.vertex: r.distance for r in rows}
+    arcs = {(u, v) for u, v in NINE}
+    for r in rows:
+        if r.vertex == 1:
+            assert r.pred is None and r.distance == 0
+        else:
+            assert (r.pred, r.vertex) in arcs, (r.pred, r.vertex)
+            assert dist[r.pred] == r.distance - 1, r
+            # min-claim determinism: pred is the smallest valid parent
+            valid = {u for (u, v) in arcs if v == r.vertex and dist.get(u) == r.distance - 1}
+            assert r.pred == min(valid)
+
+    # global vertex filter: visit only {1, 2, 3, 4} → distances equal
+    # BFS over the induced subgraph
+    allowed = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "vertex bigint")
+    got = {
+        r.vertex: r.distance
+        for r in bfs_distances(edges, [1], vertex_filter=allowed).collect()
+    }
+    induced = [(u, v) for u, v in NINE if u in (1, 2, 3, 4) and v in (1, 2, 3, 4)]
+    want = {
+        r.vertex: r.distance
+        for r in bfs_distances(edge_df(spark, induced), [1]).collect()
+    }
+    assert got == want and set(got) <= {1, 2, 3, 4}
+
+    # a source excluded by the filter is not visited at all
+    assert bfs_distances(edges, [5], vertex_filter=allowed).count() == 0

@@ -24,11 +24,27 @@ def bfs_distances(
     edges: DataFrame,
     sources: list[int] | DataFrame,
     max_depth: int = 10_000,
+    predecessors: bool = False,
+    vertex_filter: DataFrame | None = None,
 ) -> DataFrame:
-    """Distances from each source: ``(source:bigint, vertex:bigint, distance:bigint)``.
+    """Distances from each source:
+    ``(source:bigint, vertex:bigint, distance:bigint[, pred:bigint])``.
 
     Unreached vertices are absent (the reference's ``Unknown``-only event
     stream — ``breadth_first/mod.rs:23-68``).
+
+    ``predecessors=True`` adds ``pred`` — the *minimum* predecessor that
+    discovered the vertex (``NULL`` for sources). The reference's
+    ``ParFairPred`` events carry the pred that won the atomic claim
+    (``par_fair.rs:88-98,178``); our deterministic replacement for that
+    race is the min aggregate.
+
+    ``vertex_filter`` is the reference's node-filter contract
+    (``visits/mod.rs:81-89``), applied at discovery time, sources
+    included: either a ``(vertex)`` set restricting every flood, or
+    ``(source, vertex)`` pairs allowing a different filter per flood —
+    the latter is how SCC's same-color backward sweep reuses this
+    function.
     """
     spark = edges.sparkSession
     e = edges.select(SRC, DST).distinct()
@@ -36,28 +52,49 @@ def bfs_distances(
         sources = spark.createDataFrame(
             [(int(s),) for s in sources], "source bigint"
         )
-    frontier = materialize(
-        sources.select("source", F.col("source").alias("vertex"))
+    seeds = sources.select("source", F.col("source").alias("vertex"))
+    fcols = None
+    if vertex_filter is not None:
+        fcols = (
+            ["source", "vertex"]
+            if "source" in vertex_filter.columns
+            else ["vertex"]
+        )
+        seeds = seeds.join(vertex_filter, fcols, "left_semi")
+    frontier = materialize(seeds)
+    pred_cols = (
+        [F.lit(None).cast("bigint").alias("pred")] if predecessors else []
     )
     # The visited set carries the distance, so it doubles as the result
     # accumulator: it is materialized every level anyway (the claim
     # anti-join needs it), which keeps the final plan O(1) deep instead
     # of one union child per level — a 10^4-diameter chain would
     # otherwise blow up Catalyst analysis before any data moves.
-    visited = materialize(frontier.withColumn("distance", F.lit(0).cast("long")))
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(e, frontier.vertex == e[SRC])
-            .select("source", F.col(DST).alias("vertex"))
-            .distinct()
-            .join(visited, ["source", "vertex"], "left_anti")
+    visited = materialize(
+        frontier.select(
+            "source", "vertex", F.lit(0).cast("long").alias("distance"), *pred_cols
         )
-        frontier = materialize(nxt)
+    )
+    for depth in range(1, max_depth + 1):
+        disc = frontier.join(e, frontier["vertex"] == e[SRC]).select(
+            "source", e[DST].alias("vertex"), frontier["vertex"].alias("pv")
+        )
+        # min-predecessor claim (one row per discovered vertex) — same
+        # shuffle as the old distinct(), but deterministic pred for free
+        nxt = disc.groupBy("source", "vertex").agg(F.min("pv").alias("pred"))
+        if vertex_filter is not None:
+            nxt = nxt.join(vertex_filter, fcols, "left_semi")
+        frontier = materialize(nxt.join(visited, ["source", "vertex"], "left_anti"))
         if frontier.isEmpty():
             break
         visited = materialize(
             visited.unionByName(
-                frontier.withColumn("distance", F.lit(depth).cast("long"))
+                frontier.select(
+                    "source",
+                    "vertex",
+                    F.lit(depth).cast("long").alias("distance"),
+                    *(["pred"] if predecessors else []),
+                )
             )
         )
     return visited

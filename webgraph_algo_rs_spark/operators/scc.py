@@ -117,30 +117,28 @@ def strongly_connected_components(
             if color.filter("changed").isEmpty():
                 break
 
-        # ---- 3. backward multi-source BFS from roots, same-color only
+        # ---- 3. backward multi-source BFS from roots, same-color only —
+        # the filtered-visit contract (visits/mod.rs:81-89) reused via
+        # bfs_distances: flood tag = color root, per-flood filter =
+        # "vertex has this color" (a vertex joins only its own color's
+        # flood, so the floods are disjoint)
+        from webgraph_algo_rs_spark.operators.bfs import bfs_distances
+
         colored = color.select("vertex", "color")
-        visited = materialize(
-            colored.filter(F.col("vertex") == F.col("color"))
-            .select("vertex", F.col("color").alias("component"))
+        transpose = remaining_e.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST)
         )
-        frontier = visited
-        while True:
-            preds = (
-                frontier.join(remaining_e, frontier.vertex == remaining_e[DST])
-                .select(F.col(SRC).alias("vertex"), "component")
-                .distinct()
-            )
-            same_color = preds.join(
-                colored,
-                (preds.vertex == colored.vertex)
-                & (preds.component == colored.color),
-                "left_semi",
-            )
-            new = materialize(same_color.join(visited, "vertex", "left_anti"))
-            if new.isEmpty():
-                break
-            visited = materialize(visited.unionByName(new))
-            frontier = new
+        roots = colored.filter(F.col("vertex") == F.col("color")).select(
+            F.col("vertex").alias("source")
+        )
+        flood = bfs_distances(
+            transpose,
+            roots,
+            vertex_filter=colored.select(F.col("color").alias("source"), "vertex"),
+        )
+        visited = materialize(
+            flood.select("vertex", F.col("source").alias("component"))
+        )
 
         done.add(visited)
         remaining_v = materialize(
