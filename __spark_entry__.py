@@ -351,6 +351,24 @@ def q_radius_diameter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_diameter(_events_edges(spark, sf_dir))
 
 
+def q_ecc_directed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed ExactSumSweep, output level All (forward/backward
+    eccentricities with reachable-set semantics)."""
+    from webgraph_algo_rs_spark.operators import directed_eccentricities
+
+    return directed_eccentricities(_events_edges(spark, sf_dir)).select(
+        "vertex", "ecc_f", "ecc_b"
+    )
+
+
+def q_radius_diameter_directed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed RadiusDiameter with radial-vertex gating (radius over
+    vertices reaching the largest SCC)."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+
+    return radius_diameter_directed(_events_edges(spark, sf_dir))
+
+
 def q_hyperball_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch geometric centralities (rows-only: approximate by
     design; accuracy verified in tests/test_hyperball.py vs the exact
@@ -492,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symmetry_events": q_symmetry_events,
         "eccentricities_events": q_eccentricities_events,
         "radius_diameter_events": q_radius_diameter_events,
+        "ecc_directed_events": q_ecc_directed_events,
+        "radius_diameter_directed_events": q_radius_diameter_directed_events,
         "embedding_near_dups": q_embedding_near_dups,
         "transcript_edges": q_transcript_edges,
         "pagerank_transcripts": q_pagerank_transcripts,
@@ -638,6 +658,52 @@ SELECT CAST(min(ecc) AS BIGINT) AS radius,
        (SELECT CAST(vertex AS BIGINT) FROM ecc ORDER BY ecc ASC, vertex ASC LIMIT 1) AS radius_vertex,
        (SELECT CAST(vertex AS BIGINT) FROM ecc ORDER BY ecc DESC, vertex ASC LIMIT 1) AS diameter_vertex
 FROM ecc
+""",
+        "ecc_directed_events": _EG + """
+, rf(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT rf.s, e.dst_vertex, rf.d + 1
+  FROM rf JOIN eg e ON rf.v = e.src_vertex WHERE rf.d < 100
+), distf AS (SELECT s, v, min(d) AS d FROM rf GROUP BY s, v)
+SELECT vt.v AS vertex,
+       CAST((SELECT max(d) FROM distf WHERE distf.s = vt.v) AS BIGINT) AS ecc_f,
+       CAST((SELECT max(d) FROM distf WHERE distf.v = vt.v) AS BIGINT) AS ecc_b
+FROM verts vt
+""",
+        "radius_diameter_directed_events": _EG + """
+, rf(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT rf.s, e.dst_vertex, rf.d + 1
+  FROM rf JOIN eg e ON rf.v = e.src_vertex WHERE rf.d < 100
+), distf AS (SELECT s, v, min(d) AS d FROM rf GROUP BY s, v),
+eccf AS (SELECT s AS vertex, max(d) AS e FROM distf GROUP BY s),
+scc0 AS (
+  SELECT r1.s AS v, min(r1.v) AS minw
+  FROM distf r1 JOIN distf r2 ON r1.s = r2.v AND r1.v = r2.s
+  GROUP BY r1.s
+),
+scc AS (
+  SELECT vt.v AS vertex, least(vt.v, coalesce(s.minw, vt.v)) AS component
+  FROM verts vt LEFT JOIN scc0 s ON vt.v = s.v
+),
+bigc AS (
+  SELECT component FROM scc GROUP BY component
+  ORDER BY count(*) DESC, component ASC LIMIT 1
+),
+radial AS (
+  SELECT DISTINCT df.s AS vertex
+  FROM distf df JOIN scc ON df.v = scc.vertex
+  WHERE scc.component = (SELECT component FROM bigc)
+)
+SELECT
+  (SELECT CAST(min(e) AS BIGINT) FROM eccf JOIN radial USING (vertex)) AS radius,
+  (SELECT CAST(max(e) AS BIGINT) FROM eccf) AS diameter,
+  (SELECT CAST(vertex AS BIGINT) FROM eccf JOIN radial USING (vertex)
+   ORDER BY e ASC, vertex ASC LIMIT 1) AS radius_vertex,
+  (SELECT CAST(vertex AS BIGINT) FROM eccf
+   ORDER BY e DESC, vertex ASC LIMIT 1) AS diameter_vertex
 """,
         "scc_condensation_cust_supp": """
 WITH cs AS (

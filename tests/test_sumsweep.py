@@ -62,3 +62,102 @@ def test_random_cross_check(spark, n, p, seed):
     assert got == want
     # bound tightening must beat one-BFS-per-vertex
     assert stats["bfs_runs"] < len(want)
+
+
+# ---------------------------------------------------------------- directed
+
+
+def directed_ecc_oracle(arcs, n_vertices=None):
+    """Brute-force directed forward/backward eccentricities (reachable-
+    set semantics) via floyd-ish BFS per vertex."""
+    import collections
+
+    verts = sorted({v for a in arcs for v in a} | set(range(n_vertices or 0)))
+    adj = collections.defaultdict(list)
+    radj = collections.defaultdict(list)
+    for u, v in arcs:
+        if u != v:
+            adj[u].append(v)
+            radj[v].append(u)
+
+    def ecc(v, nbrs):
+        seen = {v: 0}
+        q = collections.deque([v])
+        while q:
+            x = q.popleft()
+            for y in nbrs[x]:
+                if y not in seen:
+                    seen[y] = seen[x] + 1
+                    q.append(y)
+        return max(seen.values())
+
+    return {v: (ecc(v, adj), ecc(v, radj)) for v in verts}
+
+
+def test_directed_path_fixture(spark):
+    """Reference test_path (tests/test_exact_sum_sweep.rs:16-45)."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+    from webgraph_algo_rs_spark.operators.sumsweep import directed_eccentricities
+
+    arcs = [(0, 1), (1, 2), (2, 1), (1, 0)]
+    ecc = {
+        r.vertex: (r.ecc_f, r.ecc_b)
+        for r in directed_eccentricities(edge_df(spark, arcs)).collect()
+    }
+    assert ecc[0] == (2, 2) and ecc[1] == (1, 1) and ecc[2] == (2, 2)
+    row = radius_diameter_directed(edge_df(spark, arcs)).first()
+    assert (row.radius, row.diameter, row.radius_vertex) == (1, 2, 1)
+    assert row.diameter_vertex in (0, 2)
+
+
+def test_directed_many_scc_fixture(spark):
+    """Reference test_many_scc (tests/test_exact_sum_sweep.rs:47-78)."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+
+    arcs = [(0, 1), (1, 0), (1, 2), (2, 1), (6, 2), (2, 6), (3, 4), (4, 3),
+            (4, 5), (5, 4), (0, 3), (0, 4), (1, 5), (1, 4), (2, 5)]
+    row = radius_diameter_directed(edge_df(spark, arcs)).first()
+    assert (row.radius, row.radius_vertex) == (2, 1)
+
+
+def test_directed_lozenge_and_radial_override(spark):
+    """Reference test_lozenge + test_many_dir_path radial-set override
+    (tests/test_exact_sum_sweep.rs:80-155)."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+
+    loz = [(0, 1), (1, 0), (0, 2), (1, 3), (2, 3)]
+    row = radius_diameter_directed(edge_df(spark, loz)).first()
+    assert row.radius == 2 and row.radius_vertex in (0, 1)
+
+    paths = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8), (8, 9),
+             (9, 10), (10, 18), (11, 12), (13, 14), (14, 15), (15, 16), (16, 17)]
+    radial = spark.createDataFrame([(16,), (8,)], "vertex bigint")
+    row = radius_diameter_directed(edge_df(spark, paths), radial=radial).first()
+    assert (row.diameter, row.radius, row.radius_vertex) == (6, 1, 16)
+    assert row.diameter_vertex in (5, 18)
+
+
+def test_directed_cycles(spark):
+    """Reference test_cycle (tests/test_exact_sum_sweep.rs:157-186)."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+
+    for size in (3, 5, 7):
+        arcs = [(i, (i + 1) % size) for i in range(size)]
+        row = radius_diameter_directed(edge_df(spark, arcs)).first()
+        assert (row.radius, row.diameter) == (size - 1, size - 1)
+
+
+@pytest.mark.parametrize("n,p,seed", [(18, 0.1, 3), (25, 0.08, 11)])
+def test_directed_random_cross_check(spark, n, p, seed):
+    from webgraph_algo_rs_spark.operators.sumsweep import directed_eccentricities
+
+    arcs = er_graph(n, p, seed)
+    if not arcs:
+        pytest.skip("empty graph")
+    got = {
+        r.vertex: (r.ecc_f, r.ecc_b)
+        for r in directed_eccentricities(edge_df(spark, arcs)).collect()
+    }
+    want = directed_ecc_oracle(arcs)
+    want = {v: e for v, e in want.items() if v in got}  # edge-derived vertex set
+    assert got == want

@@ -21,8 +21,10 @@ from webgraph_algo_rs_spark.operators.scc import (  # noqa: F401
     strongly_connected_components,
 )
 from webgraph_algo_rs_spark.operators.sumsweep import (  # noqa: F401
+    directed_eccentricities,
     eccentricities,
     radius_diameter,
+    radius_diameter_directed,
 )
 from webgraph_algo_rs_spark.operators.checks import (  # noqa: F401
     is_symmetric,

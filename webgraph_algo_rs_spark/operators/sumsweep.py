@@ -164,6 +164,395 @@ def eccentricities(
     return state.select("vertex", "component", F.col("low").alias("ecc"))
 
 
+def directed_eccentricities(
+    edges: DataFrame,
+    max_rounds: int = 10_000,
+    pivots_per_rule: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact *directed* forward/backward eccentricities
+    ``(vertex, component, ecc_f, ecc_b)`` — the reference's
+    ``All::compute_directed``
+    (`/root/reference/src/algo/exact_sum_sweep/computer.rs:307-417`,
+    `output_level.rs:40-56`). ``ecc_f(v) = max_w d(v, w)`` over vertices
+    reachable from ``v`` (0 if none); ``ecc_b`` symmetric on the
+    transpose. ``component`` is the vertex's SCC id.
+
+    Round structure (two alternating steps until no vertex has an open
+    forward or backward bound — the reference's ``find_missing_nodes``
+    termination, `computer.rs:943-1014`):
+
+    * **global sweeps** (the SumSweepHeuristic + bound-targeted BFS
+      steps, `computer.rs:263-300,346-390`): batched pivots chosen by
+      three rules (largest open ``high_f`` — diameter side; smallest
+      open ``low_f`` — radius side; largest open ``high_b``), each
+      flooded forward *and* backward in one tagged multi-source BFS.
+      A forward flood from *p* yields exact ``ecc_f(p)`` and, per
+      reached ``w``: ``low_b(w) ≥ d(p,w)`` and
+      ``low_f(w) ≥ ecc_f(p) − d(p,w)``; the backward flood is
+      symmetric. (Directed *upper* bounds cannot come from sweeps —
+      the triangle inequality fails across SCC borders.)
+    * **AllCCUpperBound** (`computer.rs:818-936`): per-SCC pivots
+      (min open-bounds score, the ``find_best_pivot`` rule
+      `computer.rs:424-479`), two *component-filtered* tagged BFS
+      (``bfs_distances`` with the per-flood vertex filter — the
+      reference's per-thread filtered visits `computer.rs:758-809`),
+      then the pivot-eccentricity DP over the SCC condensation:
+      sink-first for forward bounds, source-first for backward, each
+      DAG edge contributing ``d_F(pivot_c, s) + 1 + d_B(e, pivot_d) +
+      ecc(pivot_d)`` through its stored bridge arc ``(s, e)``
+      (`scc_graph.rs:109-221`). The DP runs on the driver over
+      component-sized data — the reference likewise runs it serially
+      (`computer.rs:838-877`); the condensation is orders of magnitude
+      smaller than the graph. Refinement back in Spark:
+      ``high_f(v) ≤ d_B(v, pivot) + ecc_f_ub(pivot)``,
+      ``high_b(v) ≤ d_F(pivot, v) + ecc_b_ub(pivot)``.
+    """
+    from webgraph_algo_rs_spark.operators.bfs import bfs_distances
+    from webgraph_algo_rs_spark.operators.scc import (
+        scc_condensation,
+        strongly_connected_components,
+    )
+
+    spark = edges.sparkSession
+    arcs = materialize(
+        edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    )
+    transpose = arcs.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    comps = materialize(strongly_connected_components(edges))
+    cond = materialize(scc_condensation(edges, comps))
+    state = materialize(
+        comps.select(
+            "vertex",
+            "component",
+            F.lit(0).cast("long").alias("low_f"),
+            F.lit(_INF).cast("long").alias("high_f"),
+            F.lit(0).cast("long").alias("low_b"),
+            F.lit(_INF).cast("long").alias("high_b"),
+        )
+    )
+    if state.isEmpty():
+        if stats is not None:
+            stats.update(rounds=0)
+        return state.select("vertex", "component", "low_f", "low_b").select(
+            "vertex",
+            "component",
+            F.col("low_f").alias("ecc_f"),
+            F.col("low_b").alias("ecc_b"),
+        )
+
+    n_vertices = state.count()
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        open_v = state.filter(
+            (F.col("low_f") < F.col("high_f")) | (F.col("low_b") < F.col("high_b"))
+        )
+        n_open = open_v.count()
+        if n_open == 0:
+            break
+        # Endgame: once the open set is small enough that flooding every
+        # open vertex keeps the tagged-BFS state bounded (open·n rows),
+        # sweep them all — each sweep pivot closes exactly, so this
+        # finishes in one round. The reference pays microseconds per
+        # native BFS and can afford one per step (computer.rs:340-414);
+        # our per-superstep driver latency makes batching the tail the
+        # right physical strategy for the same semantics.
+        if n_open * n_vertices <= 50_000_000:
+            state = _directed_sweep(
+                arcs, transpose, state, open_v, comps, pivots_per_rule,
+                all_open=True,
+            )
+        elif rounds % 2 == 1:
+            state = _directed_sweep(
+                arcs, transpose, state, open_v, comps, pivots_per_rule
+            )
+        else:
+            state = _all_cc_upper_bound(
+                spark, arcs, transpose, state, comps, cond, bfs_distances
+            )
+    if stats is not None:
+        stats.update(rounds=rounds)
+    return state.select(
+        "vertex",
+        "component",
+        F.col("low_f").alias("ecc_f"),
+        F.col("low_b").alias("ecc_b"),
+    )
+
+
+def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
+    """Batched forward+backward lower-bound sweeps; exact ecc for pivots.
+
+    Top-k pivot picks are three ``orderBy().limit(k)`` queries —
+    Spark plans TakeOrderedAndProject (parallel partial top-k merged on
+    the driver), never a single-partition global sort. ``all_open``
+    floods every open vertex (the bounded-state endgame)."""
+    from webgraph_algo_rs_spark.operators.bfs import bfs_distances
+
+    if all_open:
+        pivots = materialize(open_v.select(F.col("vertex").alias("source")))
+    else:
+        pivots = materialize(
+            open_v.orderBy(F.desc("high_f"), F.asc("vertex")).limit(k).select("vertex")
+            .unionByName(
+                open_v.orderBy(F.asc("low_f"), F.asc("vertex")).limit(k).select("vertex")
+            )
+            .unionByName(
+                open_v.orderBy(F.desc("high_b"), F.asc("vertex")).limit(k).select("vertex")
+            )
+            .distinct()
+            .select(F.col("vertex").alias("source"))
+        )
+    fwd = bfs_distances(arcs, pivots)
+    bwd = bfs_distances(transpose, pivots)
+    ecc_f = fwd.groupBy("source").agg(F.max("distance").alias("pecc_f"))
+    ecc_b = bwd.groupBy("source").agg(F.max("distance").alias("pecc_b"))
+    # Directed sweeps raise opposite-side lower bounds everywhere:
+    # ecc_f(w) ≥ d(w, p) (w reaches p), ecc_b(w) ≥ d(p, w). The triangle
+    # rule ecc_f(w) ≥ ecc_f(p) − d(p, w) additionally needs w to reach
+    # ecc_f(p)'s far vertex, which holds iff w and p share an SCC — so
+    # it is applied *same-component only* (in the reference the rule
+    # appears in the strongly-connected sweep updates,
+    # computer.rs:566-713; this is what closes a giant SCC in one
+    # sweep instead of |SCC| of them).
+    pcomp = comps.select(F.col("vertex").alias("source"), F.col("component").alias("pc"))
+    vcomp = comps.select("vertex", "component")
+    fwd_c = fwd.join(pcomp, "source").join(vcomp, "vertex").filter(
+        F.col("pc") == F.col("component")
+    )
+    bwd_c = bwd.join(pcomp, "source").join(vcomp, "vertex").filter(
+        F.col("pc") == F.col("component")
+    )
+    low_f_upd = (
+        bwd.groupBy("vertex")
+        .agg(F.max("distance").alias("lf1"))
+        .join(
+            fwd_c.join(ecc_f, "source")
+            .groupBy("vertex")
+            .agg(F.max(F.col("pecc_f") - F.col("distance")).alias("lf2")),
+            "vertex",
+            "outer",
+        )
+        .select(
+            "vertex",
+            F.greatest(
+                F.coalesce("lf1", F.lit(0)), F.coalesce("lf2", F.lit(0))
+            ).alias("lf"),
+        )
+    )
+    low_b_upd = (
+        fwd.groupBy("vertex")
+        .agg(F.max("distance").alias("lb1"))
+        .join(
+            bwd_c.join(ecc_b, "source")
+            .groupBy("vertex")
+            .agg(F.max(F.col("pecc_b") - F.col("distance")).alias("lb2")),
+            "vertex",
+            "outer",
+        )
+        .select(
+            "vertex",
+            F.greatest(
+                F.coalesce("lb1", F.lit(0)), F.coalesce("lb2", F.lit(0))
+            ).alias("lb"),
+        )
+    )
+    # pivots close exactly: their flood's max distance IS their
+    # eccentricity, so both bounds collapse onto it
+    exact = (
+        ecc_f.join(ecc_b, "source")
+        .select(F.col("source").alias("vertex"), "pecc_f", "pecc_b")
+    )
+    return materialize(
+        state.join(low_f_upd, "vertex", "left")
+        .join(low_b_upd, "vertex", "left")
+        .join(exact, "vertex", "left")
+        .select(
+            "vertex",
+            "component",
+            F.greatest(
+                "low_f", F.coalesce("lf", F.lit(0)), F.coalesce("pecc_f", F.lit(0))
+            ).alias("low_f"),
+            F.least("high_f", F.coalesce("pecc_f", F.lit(_INF))).alias("high_f"),
+            F.greatest(
+                "low_b", F.coalesce("lb", F.lit(0)), F.coalesce("pecc_b", F.lit(0))
+            ).alias("low_b"),
+            F.least("high_b", F.coalesce("pecc_b", F.lit(_INF))).alias("high_b"),
+        )
+    )
+
+
+def _all_cc_upper_bound(spark, arcs, transpose, state, comps, cond, bfs_distances):
+    """The reference's AllCCUpperBound step (`computer.rs:818-936`)."""
+    # find_best_pivot (`computer.rs:424-479`): per SCC, minimize
+    # low_f + low_b + n·closed_f + n·closed_b (prefer open vertices),
+    # tie-break min vertex id
+    n = state.count()
+    score = (
+        F.col("low_f")
+        + F.col("low_b")
+        + F.when(F.col("low_f") >= F.col("high_f"), F.lit(n)).otherwise(0)
+        + F.when(F.col("low_b") >= F.col("high_b"), F.lit(n)).otherwise(0)
+    )
+    pivots = materialize(
+        state.groupBy("component").agg(
+            F.min_by("vertex", F.struct(score.alias("s"), F.col("vertex"))).alias(
+                "pivot"
+            )
+        )
+    )
+    seeds = pivots.select(F.col("pivot").alias("source"))
+    members = pivots.join(
+        comps.select("vertex", "component"), "component"
+    ).select(F.col("pivot").alias("source"), "vertex")
+    pf = materialize(bfs_distances(arcs, seeds, vertex_filter=members))
+    pb = materialize(bfs_distances(transpose, seeds, vertex_filter=members))
+    p2c = pivots.select(F.col("pivot").alias("source"), "component")
+    ecc0_f = {
+        r["component"]: r["e"]
+        for r in pf.join(p2c, "source").groupBy("component").agg(
+            F.max("distance").alias("e")
+        ).collect()
+    }
+    ecc0_b = {
+        r["component"]: r["e"]
+        for r in pb.join(p2c, "source").groupBy("component").agg(
+            F.max("distance").alias("e")
+        ).collect()
+    }
+    pivot_high = {
+        r["component"]: (r["high_f"], r["high_b"])
+        for r in pivots.join(
+            state.select(F.col("vertex").alias("pivot"), "high_f", "high_b"), "pivot"
+        ).collect()
+    }
+    # DAG edges with bridge-arc weights d_F(pivot_c, s) + 1 + d_B(e, pivot_d)
+    dag = (
+        cond.join(
+            pf.select(F.col("vertex").alias("bridge_src"), F.col("distance").alias("df")),
+            "bridge_src",
+        )
+        .join(
+            pb.select(F.col("vertex").alias("bridge_dst"), F.col("distance").alias("db")),
+            "bridge_dst",
+        )
+        .select("c_src", "c_dst", (F.col("df") + 1 + F.col("db")).alias("w"))
+        .collect()
+    )
+    # driver-side DP over the condensation (component-sized data; the
+    # reference runs this serially too, computer.rs:838-877)
+    out_edges: dict[int, list[tuple[int, int]]] = {}
+    in_edges: dict[int, list[tuple[int, int]]] = {}
+    outdeg: dict[int, int] = {c: 0 for c in ecc0_f}
+    for r in dag:
+        c, d, w = r["c_src"], r["c_dst"], r["w"]
+        out_edges.setdefault(c, []).append((d, w))
+        in_edges.setdefault(d, []).append((c, w))
+        outdeg[c] = outdeg.get(c, 0) + 1
+    # sink-first order (reverse topological)
+    from collections import deque
+
+    q = deque(c for c, dcount in outdeg.items() if dcount == 0)
+    sink_first: list[int] = []
+    seen_deg = dict(outdeg)
+    while q:
+        c = q.popleft()
+        sink_first.append(c)
+        for b, _w in in_edges.get(c, []):
+            seen_deg[b] -= 1
+            if seen_deg[b] == 0:
+                q.append(b)
+    ub_f: dict[int, int] = {}
+    for c in sink_first:  # children final before parent (forward DP)
+        v = ecc0_f[c]
+        for d, w in out_edges.get(c, []):
+            v = max(v, w + ub_f[d])
+        ub_f[c] = min(v, pivot_high[c][0])
+    ub_b: dict[int, int] = {}
+    for c in reversed(sink_first):  # parents final before child (backward DP)
+        v = ecc0_b[c]
+        for b, w in in_edges.get(c, []):
+            v = max(v, w + ub_b[b])
+        ub_b[c] = min(v, pivot_high[c][1])
+    ub_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(c), int(ub_f[c]), int(ub_b[c])) for c in ub_f],
+            "component long, ub_f long, ub_b long",
+        )
+    )
+    # refine: high_f(v) ≤ d_B(v→pivot) + ub_f;  high_b(v) ≤ d_F(pivot→v) + ub_b
+    db = pb.select("vertex", F.col("distance").alias("dbv"))
+    df_ = pf.select("vertex", F.col("distance").alias("dfv"))
+    return materialize(
+        state.join(ub_df, "component", "left")
+        .join(db, "vertex", "left")
+        .join(df_, "vertex", "left")
+        .select(
+            "vertex",
+            "component",
+            "low_f",
+            F.least(
+                "high_f", F.coalesce(F.col("dbv") + F.col("ub_f"), F.lit(_INF))
+            ).alias("high_f"),
+            "low_b",
+            F.least(
+                "high_b", F.coalesce(F.col("dfv") + F.col("ub_b"), F.lit(_INF))
+            ).alias("high_b"),
+        )
+    )
+
+
+def radius_diameter_directed(
+    edges: DataFrame,
+    radial: DataFrame | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """One-row ``(radius, diameter, radius_vertex, diameter_vertex)``
+    for the *directed* graph (reference
+    ``RadiusDiameter::compute_directed``, `output_level.rs:247-287`):
+    ``diameter = max ecc_f`` over all vertices; ``radius = min ecc_f``
+    over the **radial** set (default: vertices that reach the largest
+    SCC, `computer.rs:488-534` — pass ``radial`` (vertex[, is_radial])
+    to override, the reference's ``Some(radial_vertices)`` argument).
+    Ties broken by min vertex id."""
+    from webgraph_algo_rs_spark.operators.scc import radial_vertices
+
+    ecc = directed_eccentricities(edges, stats=stats)
+    if radial is None:
+        rad = radial_vertices(edges).filter("is_radial").select("vertex")
+    else:
+        rad = (
+            radial.filter("is_radial") if "is_radial" in radial.columns else radial
+        ).select("vertex")
+    r = (
+        ecc.join(rad, "vertex", "left_semi")
+        .agg(
+            F.min("ecc_f").alias("radius"),
+            F.min_by("vertex", F.struct(F.col("ecc_f"), F.col("vertex"))).alias(
+                "radius_vertex"
+            ),
+        )
+        .first()
+    )
+    d = ecc.agg(
+        F.max("ecc_f").alias("diameter"),
+        F.max_by(
+            "vertex", F.struct(F.col("ecc_f"), (-F.col("vertex")).alias("t"))
+        ).alias("diameter_vertex"),
+    ).first()
+    return edges.sparkSession.createDataFrame(
+        [
+            (
+                int(r["radius"]) if r["radius"] is not None else 0,
+                int(d["diameter"]) if d["diameter"] is not None else 0,
+                int(r["radius_vertex"]) if r["radius_vertex"] is not None else -1,
+                int(d["diameter_vertex"]) if d["diameter_vertex"] is not None else -1,
+            )
+        ],
+        "radius long, diameter long, radius_vertex long, diameter_vertex long",
+    )
+
+
 def radius_diameter(edges: DataFrame, stats: dict | None = None) -> DataFrame:
     """One-row ``(radius, diameter, radius_vertex, diameter_vertex)``
     (reference output level ``RadiusDiameter``,
