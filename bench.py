@@ -84,6 +84,33 @@ def main() -> None:
         emb, queries=emb.filter("vec_id < 100"), k=10
     ).count())
 
+    # Fold in the latest big-graph scaling evidence (tools/bench_scaling.py):
+    # the sf-scale transcript graph above is small enough that its
+    # per-superstep figure mostly measures fixed driver latency; the
+    # representative engine throughput is the ~80M-edge run.
+    scaling_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SCALING.json")
+    if os.path.exists(scaling_json):
+        try:
+            with open(scaling_json) as f:
+                s = json.load(f)
+            best = max(
+                (r for r in (s.get("local2"), s.get("local8"), s.get("local32"))
+                 if r and "error" not in r),
+                key=lambda r: r["edges_per_sec_per_superstep"],
+                default=None,
+            )
+            if best:
+                extra["big_graph_n_edges"] = s.get("n_edges")
+                extra["big_graph_edges_per_sec_per_superstep"] = round(
+                    best["edges_per_sec_per_superstep"], 1
+                )
+                extra["big_graph_cores"] = best["cores"]
+            if "efficiency_2_to_8" in s:
+                extra["scaling_efficiency_2_to_8"] = s["efficiency_2_to_8"]
+        except (ValueError, KeyError):
+            pass
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

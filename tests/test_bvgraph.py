@@ -58,3 +58,43 @@ def test_cnr2000_scc_anchor(spark):
     comps = strongly_connected_components(edges)
     assert comps.select("component").distinct().count() == 100977
     assert comps.count() == 325557  # every node labeled exactly once
+
+
+@pytest.mark.skipif(
+    os.environ.get("WGA_SLOW_TESTS") != "1",
+    reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
+)
+def test_cnr2000_hyperball_golden_parity(spark):
+    """HyperBall with the Jenkins hasher (seed 42, log2m=8) against the
+    committed golden arrays produced by the independent *Java*
+    implementation (`tests/test_hyperball.rs:214-262`): per-element
+    relative error < 1e-6 on five centralities."""
+    import numpy as np
+
+    from webgraph_algo_rs_spark.operators import hyperball
+    from webgraph_algo_rs_spark.sources.bvgraph import read_bv_edges
+
+    def golden(name):
+        raw = open(
+            f"/root/reference/tests/hyperball_results/cnr-2000_{name}", "rb"
+        ).read()
+        return np.frombuffer(raw, dtype=">f4").astype(np.float64)
+
+    edges = read_bv_edges(spark, CNR).localCheckpoint(eager=True)
+    res = hyperball(
+        edges, log2m=8, seed=42, hasher="jenkins", n_upper=325557
+    ).collect()
+    by_v = {r["vertex"]: r for r in res}
+    cols = {
+        "sum_of_distances": "sum_distances",
+        "harmonic_centrality": "harmonic",
+        "lin_centrality": "lin",
+        "closeness_centrality": "closeness",
+        "nieminen_centrality": "nieminen",
+    }
+    for fname, col in cols.items():
+        want = golden(fname)
+        got = np.array([by_v[v][col] if v in by_v else 0.0 for v in range(len(want))])
+        denom = np.where(want != 0, np.abs(want), 1.0)
+        rel = np.abs(want - got) / denom
+        assert rel.max() < 1e-6, (fname, rel.max(), int(rel.argmax()))

@@ -145,3 +145,36 @@ def test_hyperball_discounted_centrality(spark):
     rows = hyperball(edges, log2m=10, discount=lambda t: 1.0 / t).collect()
     for r in rows:
         assert r.discounted == pytest.approx(r.harmonic)
+
+
+def test_jenkins_hash_and_weighted_init(spark):
+    """Jenkins hasher kernel sanity (distinct, well-spread, seed-
+    sensitive) and the reference's weighted mode
+    (hyperball_impl.rs:41-42,1150-1159): counter i seeded with weight_i
+    distinct elements, so a weight-w node's initial reachable estimate
+    is ~w."""
+    import numpy as np
+    from tests.conftest import edge_df
+    from webgraph_algo_rs_spark.functions.hll import HllParams, jenkins64
+    from webgraph_algo_rs_spark.operators import hyperball
+
+    x = np.arange(100_000, dtype=np.int64)
+    h42 = jenkins64(x, 42)
+    assert len(np.unique(h42)) == len(x)  # injective on this range
+    assert not np.array_equal(h42, jenkins64(x, 43))  # seed-sensitive
+    # HLL accuracy holds under the jenkins hasher + reference sentinel
+    p = HllParams(log2m=8, hasher="jenkins", n_upper=1_000_000)
+    regs = p.empty(1)
+    p.add_multi(regs, np.zeros(50_000, dtype=np.int64), x[:50_000])
+    assert abs(float(p.estimate(regs)[0]) / 50_000 - 1) < 3 * p.rsd
+
+    # weighted init: isolated-ish pair, weights 1000 and 1
+    edges = edge_df(spark, [(0, 1)])
+    w = spark.createDataFrame([(0, 1000), (1, 1)], "vertex bigint, weight int")
+    got = {
+        r["vertex"]: r["reachable"]
+        for r in hyperball(edges, log2m=10, node_weights=w).collect()
+    }
+    # ball(0) after convergence = {0-elements} ∪ {1-elements} ≈ 1001
+    assert abs(got[0] / 1001 - 1) < 0.15
+    assert abs(got[1] / 1 - 1) < 0.35

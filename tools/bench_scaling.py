@@ -74,11 +74,17 @@ def run(cores: int, iters: int, edges_path: str) -> dict:
     script = RUN_ONE.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), str(iters), edges_path],
-        check=True,
         capture_output=True,
         text=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # a failed run (e.g. one OOM'd core count) must not lose the
+    # completed runs — the 2→8 pair alone carries the target
+    if out.returncode != 0:
+        sys.stderr.write(f"--- local[{cores}] FAILED ---\n{out.stderr[-4000:]}\n")
+        return {"cores": cores, "error": (out.stderr or "failed").strip()[-500:]}
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    print(json.dumps(res), flush=True)
+    return res
 
 
 def main() -> None:
@@ -88,45 +94,77 @@ def main() -> None:
     r2 = run(2, iters, edges_path)
     r8 = run(8, iters, edges_path)
     r32 = run(32, iters, edges_path)
-    sp_2_8 = r2["wall_sec"] / r8["wall_sec"]
-    sp_8_32 = r8["wall_sec"] / r32["wall_sec"]
+    ok2, ok8, ok32 = ("error" not in r2, "error" not in r8, "error" not in r32)
     result = {
-        "n_edges": r8["n_edges"],
+        "n_edges": (r8 if ok8 else r2).get("n_edges"),
         "supersteps": iters,
         "local2": r2,
         "local8": r8,
         "local32": r32,
-        "speedup_2_to_8": round(sp_2_8, 3),
-        "efficiency_2_to_8": round(sp_2_8 / 4.0, 3),
-        "speedup_8_to_32": round(sp_8_32, 3),
-        "efficiency_8_to_32": round(sp_8_32 / 4.0, 3),
     }
+    if ok2 and ok8:
+        sp_2_8 = r2["wall_sec"] / r8["wall_sec"]
+        result["speedup_2_to_8"] = round(sp_2_8, 3)
+        result["efficiency_2_to_8"] = round(sp_2_8 / 4.0, 3)
+    if ok8 and ok32:
+        sp_8_32 = r8["wall_sec"] / r32["wall_sec"]
+        result["speedup_8_to_32"] = round(sp_8_32, 3)
+        result["efficiency_8_to_32"] = round(sp_8_32 / 4.0, 3)
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
-        f.write(
-            f"""# BENCH_SCALING — N vs 4N parallelism (PageRank supersteps)
 
-Same job, same input ({r8['n_edges']:,} weighted edges extracted from
-{n_convs:,} synthetic transcripts, seed 42), fixed 64 shuffle
-partitions, {iters} supersteps, fresh JVM per run. Parallelism is the
-only variable — the sandbox stand-in for N vs 4N executor clusters per
-the driver instructions. Two N→4N pairs are reported; on a single
-shared-memory box the 8→32 pair is additionally capped by shared DRAM
-bandwidth that distinct executor hosts would not share, so the 2→8
-pair is the representative N→4N-hosts datapoint.
-
-| parallelism | wall sec | edges/sec/superstep |
-|---|---|---|
-| local[2]  (N)   | {r2['wall_sec']:.2f} | {r2['edges_per_sec_per_superstep']:,.0f} |
-| local[8]  (4N)  | {r8['wall_sec']:.2f} | {r8['edges_per_sec_per_superstep']:,.0f} |
-| local[32] (16N) | {r32['wall_sec']:.2f} | {r32['edges_per_sec_per_superstep']:,.0f} |
-
-**Speedup 2→8: {sp_2_8:.2f}× — scaling efficiency {sp_2_8 / 4:.3f}**
-(target ≥ 0.8).
-Speedup 8→32: {sp_8_32:.2f}× — efficiency {sp_8_32 / 4:.3f}
-(bandwidth-capped on one box; see note above).
-"""
+    def row(r, label):
+        if "error" in r:
+            return f"| {label} | run failed | — |"
+        return (
+            f"| {label} | {r['wall_sec']:.2f} | "
+            f"{r['edges_per_sec_per_superstep']:,.0f} |"
         )
+
+    lines = [
+        "# BENCH_SCALING — N vs 4N parallelism (PageRank supersteps)",
+        "",
+        f"Same job, same input ({result['n_edges']:,} weighted edges extracted "
+        f"from {n_convs:,} synthetic transcripts, seed 42), fixed 64 shuffle",
+        f"partitions, {iters} supersteps, fresh JVM per run. Parallelism is the",
+        "only variable — the sandbox stand-in for N vs 4N executor clusters per",
+        "the driver instructions. Two N→4N pairs are reported; on a single",
+        "shared-memory box the 8→32 pair is additionally capped by shared DRAM",
+        "bandwidth that distinct executor hosts would not share, so the 2→8",
+        "pair is the representative N→4N-hosts datapoint.",
+        "",
+        "| parallelism | wall sec | edges/sec/superstep |",
+        "|---|---|---|",
+        row(r2, "local[2]  (N)"),
+        row(r8, "local[8]  (4N)"),
+        row(r32, "local[32] (16N)"),
+        "",
+    ]
+    if "efficiency_2_to_8" in result:
+        lines.append(
+            f"**Speedup 2→8: {result['speedup_2_to_8']:.2f}× — scaling "
+            f"efficiency {result['efficiency_2_to_8']:.3f}** (target ≥ 0.8)."
+        )
+    if "efficiency_8_to_32" in result:
+        lines.append(
+            f"Speedup 8→32: {result['speedup_8_to_32']:.2f}× — efficiency "
+            f"{result['efficiency_8_to_32']:.3f} (bandwidth-capped on one "
+            "box; see note above)."
+        )
+    if "error" in r32:
+        lines.append("")
+        lines.append(
+            "local[32] note: the 16N run failed in this environment "
+            "(see driver log); the BASELINE.json criterion is the N→4N "
+            "pair, which is reported above."
+        )
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    # machine-readable sidecar: bench.py folds the big-graph throughput
+    # into the per-round BENCH json (the sf0.1 transcript graph is tiny,
+    # so its per-superstep figure measures driver latency, not the
+    # engine — VERDICT r1 §perf note 5)
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f)
 
 
 if __name__ == "__main__":

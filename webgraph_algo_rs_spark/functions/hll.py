@@ -54,6 +54,38 @@ def splitmix64(x: np.ndarray, seed: int = 42) -> np.ndarray:
     return z
 
 
+def jenkins64(x: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized one-word Jenkins hash — byte-compatible with the Java
+    ``HyperLogLogCounterArray`` hasher the reference pins for its golden
+    cnr-2000 test (`tests/test_hyperball.rs:16-165`: a=b=seed,
+    c=0x9e3779b97f4a7c13, one digest round of the 64-bit Jenkins mix,
+    result = c). All arithmetic is uint64-wrapping; shifts are logical.
+    """
+    x = x.astype(np.uint64, copy=False)
+    a = np.uint64(seed % (1 << 64)) + x
+    b = np.full_like(x, np.uint64(seed % (1 << 64)))
+    c = np.full_like(x, np.uint64(0x9E3779B97F4A7C13))
+    a -= b; a -= c; a ^= c >> np.uint64(43)  # noqa: E702
+    b -= c; b -= a; b ^= a << np.uint64(9)  # noqa: E702
+    c -= a; c -= b; c ^= b >> np.uint64(8)  # noqa: E702
+    a -= b; a -= c; a ^= c >> np.uint64(38)  # noqa: E702
+    b -= c; b -= a; b ^= a << np.uint64(23)  # noqa: E702
+    c -= a; c -= b; c ^= b >> np.uint64(5)  # noqa: E702
+    a -= b; a -= c; a ^= c >> np.uint64(35)  # noqa: E702
+    b -= c; b -= a; b ^= a << np.uint64(49)  # noqa: E702
+    c -= a; c -= b; c ^= b >> np.uint64(11)  # noqa: E702
+    a -= b; a -= c; a ^= c >> np.uint64(12)  # noqa: E702
+    b -= c; b -= a; b ^= a << np.uint64(18)  # noqa: E702
+    c -= a; c -= b; c ^= b >> np.uint64(22)  # noqa: E702
+    return c
+
+
+def register_size(n: int) -> int:
+    """Register width in bits for an upper bound of ``n`` elements
+    (`hyper_log_log_logic.rs:293-295`: max(5, ⌈log₂log₂n⌉))."""
+    return max(5, int(math.ceil(math.log2(math.log2(max(n, 4))))))
+
+
 def alpha(m: int) -> float:
     """Bias-correction constant (`hyper_log_log_logic.rs:380-385`)."""
     if m == 16:
@@ -79,14 +111,36 @@ def log2m_for_rsd(target_rsd: float) -> int:
 
 @dataclass(frozen=True)
 class HllParams:
-    """Counter-logic parameters (K5 analog of ``HyperLogLogCounterLogic``)."""
+    """Counter-logic parameters (K5 analog of ``HyperLogLogCounterLogic``).
+
+    ``hasher``: ``"splitmix64"`` (default) or ``"jenkins"`` — the latter
+    reproduces the reference's golden-array setup bit-for-bit
+    (`tests/test_hyperball.rs:159-165`). ``n_upper``: optional element
+    upper bound; when set, the sentinel mask uses the reference's
+    register-size formula (`hyper_log_log_logic.rs:378-379`:
+    ``1 << ((1 << register_size(n)) − 2)``), required for golden parity;
+    unset keeps the effectively-uncapped ``1 << 63`` sentinel.
+    """
 
     log2m: int = 8
     seed: int = 42
+    hasher: str = "splitmix64"
+    n_upper: int | None = None
 
     @property
     def m(self) -> int:
         return 1 << self.log2m
+
+    @property
+    def sentinel(self) -> np.uint64:
+        if self.n_upper is None:
+            return np.uint64(1) << np.uint64(63)
+        return np.uint64(1) << np.uint64((1 << register_size(self.n_upper)) - 2)
+
+    def _hash(self, elements: np.ndarray) -> np.ndarray:
+        if self.hasher == "jenkins":
+            return jenkins64(np.asarray(elements, dtype=np.int64), self.seed)
+        return splitmix64(np.asarray(elements, dtype=np.int64), self.seed)
 
     @property
     def alpha(self) -> float:
@@ -105,12 +159,24 @@ class HllParams:
         pick the register, the remaining bits' trailing-zero count + 1 is
         the candidate value; a sentinel bit bounds ρ.
         """
-        h = splitmix64(np.asarray(elements, dtype=np.int64), self.seed)
+        h = self._hash(elements)
         j = (h & np.uint64(self.m - 1)).astype(np.int64)
-        rest = (h >> np.uint64(self.log2m)) | (np.uint64(1) << np.uint64(63))
+        rest = (h >> np.uint64(self.log2m)) | self.sentinel
         rho = (_trailing_zeros(rest) + 1).astype(np.uint8)
         rows = np.arange(regs.shape[0])
         regs[rows, j] = np.maximum(regs[rows, j], rho)
+
+    def add_multi(
+        self, regs: np.ndarray, rows: np.ndarray, elements: np.ndarray
+    ) -> None:
+        """Fold ``elements[i]`` into counter row ``rows[i]`` in place —
+        many elements per counter (weighted-node init), unbuffered max
+        scatter."""
+        h = self._hash(elements)
+        j = (h & np.uint64(self.m - 1)).astype(np.int64)
+        rest = (h >> np.uint64(self.log2m)) | self.sentinel
+        rho = (_trailing_zeros(rest) + 1).astype(np.uint8)
+        np.maximum.at(regs, (np.asarray(rows, dtype=np.int64), j), rho)
 
     # ---------------------------------------------------------------- K2
     def estimate(self, regs: np.ndarray) -> np.ndarray:
@@ -121,7 +187,8 @@ class HllParams:
         harm = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
         est = self.alpha * m * m / harm
         zeros = (regs == 0).sum(axis=1)
-        small = (est <= 2.5 * m) & (zeros > 0)
+        # strict < matches the reference exactly (`:173`)
+        small = (est < 2.5 * m) & (zeros > 0)
         with np.errstate(divide="ignore"):
             linear = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
         return np.where(small, linear, est)

@@ -107,6 +107,9 @@ def hyperball(
     n_salt: int = 0,
     discount=None,
     stats: dict | None = None,
+    hasher: str = "splitmix64",
+    n_upper: int | None = None,
+    node_weights: DataFrame | None = None,
 ) -> DataFrame:
     """Run HyperBall on the out-direction of ``edges``.
 
@@ -122,13 +125,35 @@ def hyperball(
     (`hyperball_impl.rs:284-296,1073-1080`); evaluated driver-side per
     superstep (t is a plan constant), accumulated in a ``discounted``
     column.
+    ``hasher``/``n_upper``: see :class:`HllParams` — ``("jenkins",
+    num_nodes)`` reproduces the reference's Java-golden-array setup.
+    ``node_weights``: optional ``(vertex, weight:int)`` — the
+    reference's weighted mode (`hyperball_impl.rs:41-42,1150-1159`)
+    seeds counter *i* with ``weight_i`` distinct elements instead of
+    one (the reference draws them randomly; we derive them
+    deterministically from ``(vertex, k)`` for reproducibility — same
+    statistics). Missing vertices default to weight 1.
     """
-    params = HllParams(log2m=log2m, seed=seed)
+    params = HllParams(log2m=log2m, seed=seed, hasher=hasher, n_upper=n_upper)
     merge = _group_merge_factory(params)
 
     @F.pandas_udf(BinaryType())
     def init_sketch(v: pd.Series) -> pd.Series:
         regs = params.singletons(v.to_numpy(dtype=np.int64))
+        return pd.Series(HllParams.to_bytes(regs))
+
+    @F.pandas_udf(BinaryType())
+    def init_weighted(v: pd.Series, w: pd.Series) -> pd.Series:
+        vv = v.to_numpy(dtype=np.int64)
+        ww = np.maximum(w.to_numpy(dtype=np.int64), 0)
+        regs = params.empty(len(vv))
+        rows = np.repeat(np.arange(len(vv)), ww)
+        # weight_i distinct synthetic elements per node: (vertex << 24) + k
+        # (vertex ids < 2^39, weights < 2^24)
+        base = np.repeat(vv, ww) * np.int64(1 << 24)
+        csum = np.concatenate(([0], np.cumsum(ww)[:-1]))
+        k = np.arange(rows.size, dtype=np.int64) - np.repeat(csum, ww)
+        params.add_multi(regs, rows, base + k)
         return pd.Series(HllParams.to_bytes(regs))
 
     @F.pandas_udf(DoubleType())
@@ -151,10 +176,19 @@ def hyperball(
         return pd.Series(HllParams.to_bytes(ra))
 
     arcs = edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    verts = graph_vertices(edges)  # vertex set from the raw edges: a vertex
+    # with only self-loops still has a ball {v} (reference counts it)
+    if node_weights is not None:
+        verts = verts.join(
+            node_weights.select("vertex", F.col("weight").cast("long").alias("_w")),
+            "vertex",
+            "left",
+        ).select("vertex", F.coalesce("_w", F.lit(1)).alias("_w"))
+        seeded = verts.withColumn("sketch", init_weighted("vertex", "_w")).drop("_w")
+    else:
+        seeded = verts.withColumn("sketch", init_sketch("vertex"))
     state = materialize(
-        graph_vertices(edges)  # vertex set from the raw edges: a vertex
-        # with only self-loops still has a ball {v} (reference counts it)
-        .withColumn("sketch", init_sketch("vertex"))
+        seeded
         .withColumn("est", est_udf("sketch"))
         .select(
             "vertex",
