@@ -272,3 +272,53 @@ def test_near_dup_zero_norm_and_auto_lsh(vectors, spark):
         ).collect()
     }
     assert (0, 1) in lsh_auto and lsh_auto <= exact
+
+
+def test_media_probe_real_headers(spark):
+    """probe_media parses genuine container headers (no codec libs):
+    PNG IHDR, JPEG SOF0, GIF LSD, WAV RIFF duration — and the
+    metadata-consistency cross-check flags mislabeled assets."""
+    import struct
+
+    from webgraph_algo_rs_spark.functions.multimodal import media_metadata, probe_media
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640)                # height, width
+        + b"\x03" + b"\x00" * 9
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 88200) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 22050, 88200, 4, 16)  # byte_rate 88200
+        + b"data" + struct.pack("<I", 88200) + b""
+    )
+    assert probe_media(png) == ("png", 640, 480, None)
+    assert probe_media(jpeg) == ("jpeg", 640, 480, None)
+    assert probe_media(wav) == ("wav", None, None, 1000)
+    assert probe_media(b"GIF89a" + struct.pack("<HH", 320, 200)) == (
+        "gif", 320, 200, None,
+    )
+    assert probe_media(b"garbage")[0] is None
+
+    rows = [
+        (0, "image", bytearray(png), 640, 480, None),      # consistent
+        (1, "image", bytearray(png), 999, 480, None),      # mislabeled width
+        (2, "audio", bytearray(wav), None, None, 1000),    # consistent
+        (3, "image", bytearray(b"corrupt"), 64, 64, None), # unknown format
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    got = {r["media_id"]: r for r in media_metadata(media).collect()}
+    assert got[0]["metadata_consistent"] and got[0]["detected_format"] == "png"
+    assert not got[1]["metadata_consistent"]
+    assert got[2]["metadata_consistent"] and got[2]["duration_ms"] == 1000
+    assert not got[3]["metadata_consistent"] and got[3]["detected_format"] is None
