@@ -161,3 +161,34 @@ def test_directed_random_cross_check(spark, n, p, seed):
     want = directed_ecc_oracle(arcs)
     want = {v: e for v, e in want.items() if v in got}  # edge-derived vertex set
     assert got == want
+
+
+def test_pivot_path_matches_endgame(spark):
+    """The adaptive pivot-rule path (endgame disabled) and the all-open
+    endgame flood must agree — keeps the bound-tightening machinery
+    exercised at test scale where the endgame would otherwise always
+    trigger."""
+    from webgraph_algo_rs_spark.operators.sumsweep import directed_eccentricities
+
+    arcs = er_graph(20, 0.1, 5)
+    df = edge_df(spark, arcs)
+    stats_piv: dict = {}
+    via_pivots = {
+        r.vertex: (r.ecc_f, r.ecc_b)
+        for r in directed_eccentricities(
+            df, endgame_budget=0, stats=stats_piv
+        ).collect()
+    }
+    via_endgame = {
+        r.vertex: (r.ecc_f, r.ecc_b)
+        for r in directed_eccentricities(df).collect()
+    }
+    assert via_pivots == via_endgame
+    assert stats_piv["rounds"] > 1  # the adaptive loop actually iterated
+
+    und = {
+        r.vertex: r.ecc
+        for r in eccentricities(df, endgame_budget=0).collect()
+    }
+    und_end = {r.vertex: r.ecc for r in eccentricities(df).collect()}
+    assert und == und_end

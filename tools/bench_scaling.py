@@ -32,9 +32,14 @@ from webgraph_algo_rs_spark.session import get_spark
 from webgraph_algo_rs_spark.operators import pagerank
 
 cores = int(sys.argv[1]); iters = int(sys.argv[2]); edges_path = sys.argv[3]
+# heap scales with the core count past 8 — on a real N vs 4N cluster the
+# aggregate executor memory grows with the executor count; a fixed heap
+# makes 32 concurrent shuffled-hash-join builders OOM at 100M+ edges
+mem = "16g" if cores <= 8 else "28g"
 spark = get_spark(app_name=f"scal{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=64,
-                  extra_conf={{"spark.sql.warehouse.dir": f"/tmp/spark-wh-scal{{cores}}"}})
+                  extra_conf={{"spark.sql.warehouse.dir": f"/tmp/spark-wh-scal{{cores}}",
+                               "spark.driver.memory": mem}})
 edges = spark.read.parquet(edges_path)
 n_edges = edges.count()
 # warmup: one superstep to JIT/fill caches (also pays the one-off
@@ -120,11 +125,14 @@ def main() -> None:
             f"{r['edges_per_sec_per_superstep']:,.0f} |"
         )
 
+    input_desc = os.environ.get(
+        "SCALING_INPUT_DESC", f"extracted from {n_convs:,} synthetic transcripts, seed 42"
+    )
     lines = [
         "# BENCH_SCALING — N vs 4N parallelism (PageRank supersteps)",
         "",
-        f"Same job, same input ({result['n_edges']:,} weighted edges extracted "
-        f"from {n_convs:,} synthetic transcripts, seed 42), fixed 64 shuffle",
+        f"Same job, same input ({result['n_edges']:,} weighted edges "
+        f"{input_desc}), fixed 64 shuffle",
         f"partitions, {iters} supersteps, fresh JVM per run. Parallelism is the",
         "only variable — the sandbox stand-in for N vs 4N executor clusters per",
         "the driver instructions. Two N→4N pairs are reported; on a single",

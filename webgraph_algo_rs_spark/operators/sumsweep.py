@@ -90,6 +90,7 @@ def eccentricities(
     max_rounds: int = 10_000,
     pivots_per_rule: int = 4,
     stats: dict | None = None,
+    endgame_budget: int = 50_000_000,
 ) -> DataFrame:
     """Exact per-vertex undirected eccentricities:
     ``(vertex, component, ecc)`` (reference output level ``All``).
@@ -122,18 +123,29 @@ def eccentricities(
     w_rad = Window.partitionBy("component").orderBy(
         F.asc("low"), F.asc("vertex")
     )
+    n_vertices = state.count()
     for rounds in range(1, max_rounds + 1):
         open_v = state.filter(F.col("low") < F.col("high"))
-        if open_v.isEmpty():
+        n_open = open_v.count()
+        if n_open == 0:
             break
-        pivots = (
-            open_v.withColumn("rd", F.row_number().over(w_dia))
-            .withColumn("rr", F.row_number().over(w_rad))
-            .filter(
-                (F.col("rd") <= pivots_per_rule) | (F.col("rr") <= pivots_per_rule)
+        if n_open * n_vertices <= endgame_budget:
+            # endgame: flooding every open vertex keeps the tagged-BFS
+            # state bounded and closes them all (each pivot's flood
+            # yields its exact eccentricity) — one round instead of a
+            # per-pivot-budget tail (same batching rationale as the
+            # directed mode)
+            pivots = open_v.select("vertex", F.col("vertex").alias("pivot"))
+        else:
+            pivots = (
+                open_v.withColumn("rd", F.row_number().over(w_dia))
+                .withColumn("rr", F.row_number().over(w_rad))
+                .filter(
+                    (F.col("rd") <= pivots_per_rule)
+                    | (F.col("rr") <= pivots_per_rule)
+                )
+                .select("vertex", F.col("vertex").alias("pivot"))
             )
-            .select("vertex", F.col("vertex").alias("pivot"))
-        )
         dist = _tagged_bfs(sym, pivots)
         n_bfs += 1
         ecc_p = dist.groupBy("pivot").agg(F.max("dist").alias("ecc_p"))
@@ -169,6 +181,7 @@ def directed_eccentricities(
     max_rounds: int = 10_000,
     pivots_per_rule: int = 4,
     stats: dict | None = None,
+    endgame_budget: int = 50_000_000,
 ) -> DataFrame:
     """Exact *directed* forward/backward eccentricities
     ``(vertex, component, ecc_f, ecc_b)`` — the reference's
@@ -257,7 +270,7 @@ def directed_eccentricities(
         # native BFS and can afford one per step (computer.rs:340-414);
         # our per-superstep driver latency makes batching the tail the
         # right physical strategy for the same semantics.
-        if n_open * n_vertices <= 50_000_000:
+        if n_open * n_vertices <= endgame_budget:
             state = _directed_sweep(
                 arcs, transpose, state, open_v, comps, pivots_per_rule,
                 all_open=True,
