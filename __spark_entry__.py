@@ -530,15 +530,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # twin of lsh_candidate_pairs' guards: band only the canonical doc of
+    # each exact-duplicate class, drop band buckets above the size cap
     lsh_bands = """
-, sigs AS (
-  SELECT doc_id,
+, canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), sigs AS (
+  SELECT h.doc_id,
          {mh} AS m
-  FROM hashed
-), banded AS (
+  FROM hashed h JOIN canon c ON h.doc_id = c.doc_id
+), banded0 AS (
   SELECT doc_id, i AS band_idx,
          CAST(m[2*i+1] AS VARCHAR) || '|' || CAST(m[2*i+2] AS VARCHAR) AS band_hash
   FROM sigs, generate_series(0, 3) AS t(i)
+), bsz AS (
+  SELECT band_idx, band_hash, count(*) AS n
+  FROM banded0 GROUP BY band_idx, band_hash
+), banded AS (
+  SELECT b.doc_id, b.band_idx, b.band_hash
+  FROM banded0 b JOIN bsz USING (band_idx, band_hash)
+  WHERE bsz.n <= 10000
 )
 """.format(mh="[" + ", ".join(_mh_sql(i) for i in range(8)) + "]")
 

@@ -96,6 +96,9 @@ def lsh_candidate_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    dedup_first: bool = True,
+    max_bucket: int | None = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates ``(doc_a, doc_b)`` (a < b), distinct.
 
@@ -103,8 +106,31 @@ def lsh_candidate_pairs(
     sharing any full band land in the same bucket. The join key is
     ``(band_idx, band_hash)`` so the self-join only touches genuinely
     colliding buckets.
+
+    Two guards keep the self-join from going quadratic on degenerate
+    input (the training-corpus reality: 10⁷ byte-identical boilerplate
+    docs share every band, and an uncapped bucket of size k emits k²/2
+    pairs):
+
+    * ``dedup_first`` (default on) — only the canonical doc of each
+      *exact*-duplicate class (min id, per :func:`exact_duplicates`) is
+      banded; byte-identical copies are exact dups by definition and are
+      already reported by the exact pass, so near-dup banding them is
+      pure waste.
+    * ``max_bucket`` — a band bucket larger than this is dropped before
+      the self-join. Post-dedup, a bucket that large is a hash-collision
+      class of boilerplate near-identicals, not a useful candidate set;
+      a 10⁴ cap bounds any single bucket's cost at 10⁸ pairs. Pass
+      ``stats={}`` to receive ``dropped_buckets`` / ``dropped_rows``
+      (costs one extra count job — off by default so the scale path
+      stays lazy).
     """
     rows_per_band = n_hashes // bands
+    if dedup_first:
+        canon = exact_duplicates(docs, text_col, id_col).select(
+            F.col("canonical_id").alias(id_col)
+        )
+        docs = docs.join(canon, id_col, "left_semi")
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
     banded = sigs.select(
         "doc_id",
@@ -119,6 +145,21 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bucket_size")
+        )
+        if stats is not None:
+            dropped = sizes.filter(F.col("_bucket_size") > max_bucket).agg(
+                F.count(F.lit(1)).alias("b"), F.sum("_bucket_size").alias("r")
+            ).first()
+            stats["dropped_buckets"] = int(dropped["b"] or 0)
+            stats["dropped_rows"] = int(dropped["r"] or 0)
+        banded = banded.join(
+            sizes.filter(F.col("_bucket_size") <= max_bucket).drop("_bucket_size"),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
     a = banded.select(F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_a"))
     b = banded.select(F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_b"))
     return (
@@ -179,9 +220,15 @@ def simhash64(
     engine-portable (md5 hex arithmetic), so the DuckDB oracle replays
     it exactly.
     """
+    # coalesce NULL text to '' so every input doc_id yields a signature
+    # row (a plain explode of split(NULL) silently eliminates the doc —
+    # consumers joining signatures back to the corpus would lose rows
+    # with no signal)
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("tok"),
     )
     h = F.md5("tok")
     hashed = tok.select(

@@ -38,6 +38,7 @@ Spark-first physical plan (never per-row Python):
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Iterator
 
@@ -51,6 +52,7 @@ from webgraph_algo_rs_spark.functions.hll import HllParams
 from webgraph_algo_rs_spark.plans.superstep import (
     SRC,
     DST,
+    StatsResetter,
     graph_vertices,
     materialize,
     salted_agg,
@@ -163,19 +165,20 @@ def hyperball(
 
     @F.pandas_udf(BinaryType())
     def merge2_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        # Masked batch max: one np.maximum over the rows that received an
-        # incoming sketch — no per-row Python. This sits in the apply
-        # join of *every* superstep, so it must stay a whole-batch
-        # vectorized kernel (the reference's word-parallel merge,
+        # Whole-batch register max — this only ever sees vertices that
+        # actually received a message (inner join below), so both sides
+        # are non-null and the kernel is a single np.maximum per Arrow
+        # batch (the reference's word-parallel merge,
         # hyper_log_log_logic.rs:461-568, re-expressed over Arrow).
-        ra = params.from_bytes(list(a)).copy()
-        mask = b.notna().to_numpy()
-        if mask.any():
-            rb = params.from_bytes(list(b[mask]))
-            ra[mask] = np.maximum(ra[mask], rb)
-        return pd.Series(HllParams.to_bytes(ra))
+        ra = params.from_bytes(list(a))
+        rb = params.from_bytes(list(b))
+        return pd.Series(HllParams.to_bytes(np.maximum(ra, rb)))
 
-    arcs = edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    # materialized once: the distinct() is a full shuffle of the edge
+    # set — recomputing it per superstep action would dominate the loop
+    arcs = materialize(
+        edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    )
     verts = graph_vertices(edges)  # vertex set from the raw edges: a vertex
     # with only self-loops still has a ball {v} (reference counts it)
     if node_weights is not None:
@@ -201,6 +204,7 @@ def hyperball(
         )
     )
     nf = [float(state.agg(F.sum("est")).first()[0] or 0.0)]
+    resetter = StatsResetter(edges.sparkSession, label="hyperball")
 
     it = 0
     t_start = time.time()
@@ -218,8 +222,13 @@ def hyperball(
             merged = merge(msgs, ["mk"])
         merged = merged.withColumnRenamed("sketch", "in_sketch")
         t = float(it)
-        stepped = materialize(
-            state.join(merged, state.vertex == merged.mk, "left")
+        # join-then-union: only vertices with an incoming message pay the
+        # Arrow round trip (merge2 + estimate); untouched rows pass
+        # through JVM-side with changed=false. Near saturation the
+        # frontier — and so the touched set — collapses, making late
+        # supersteps O(|frontier|), not O(|V|), in Python-kernel work.
+        touched = (
+            state.join(merged, state.vertex == merged.mk)
             .withColumn("new_sketch", merge2_udf("sketch", F.col("in_sketch")))
             .withColumn("new_est", est_udf("new_sketch"))
             .withColumn(
@@ -239,12 +248,35 @@ def hyperball(
                 (F.col("new_sketch") != state["sketch"]).alias("changed"),
             )
         )
+        untouched = state.join(
+            merged, state.vertex == merged.mk, "left_anti"
+        ).select(
+            "vertex",
+            "sketch",
+            "est",
+            "sum_d",
+            "sum_inv_d",
+            "sum_disc",
+            F.lit(False).alias("changed"),
+        )
+        stepped = materialize(touched.unionByName(untouched))
+        if it % 8 == 0:
+            # stats firewall — see StatsResetter: the self-referential
+            # join above ~squares the originStats estimate per superstep
+            stepped = resetter.reset(stepped)
         agg = stepped.agg(
             F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("nc"),
             F.sum("est").alias("nf"),
         ).first()
         state = stepped
         changed = int(agg["nc"] or 0)
+        if os.environ.get("WGA_HB_VERBOSE"):
+            print(
+                f"hyperball iter {it} changed {changed} "
+                f"nf {float(agg['nf'] or 0.0):.1f} "
+                f"elapsed {time.time() - t_start:.1f}s",
+                flush=True,
+            )
         nf.append(max(float(agg["nf"] or 0.0), nf[-1]))  # monotone clamp :905-916
         if changed == 0:
             break

@@ -44,8 +44,54 @@ def materialize(df: DataFrame) -> DataFrame:
     commit to the checkpoint table (see ``checkpoint.CheckpointManager``
     for the durable variant); ``localCheckpoint`` is the fast in-cluster
     path used between durable commits.
+
+    CAVEAT (measured): ``localCheckpoint`` copies the child plan's
+    *estimated* ``sizeInBytes`` into the resulting ``LogicalRDD``
+    (originStats). A loop whose superstep joins state with a frame
+    derived from state therefore ~squares the estimate every iteration
+    — double-exponential BigInteger growth that first makes every stats
+    call slow and then throws ``BigInteger would overflow supported
+    range`` around iteration 25. Loops with self-referential joins must
+    periodically reset stats with :class:`StatsResetter` (a parquet
+    spill-and-reread, whose scan stats are honest file sizes).
     """
     return df.localCheckpoint(eager=True)
+
+
+class StatsResetter:
+    """Periodic parquet spill for long self-join loops.
+
+    ``reset(df)`` writes ``df`` to a scratch parquet dir and reads it
+    back: the parquet scan is a fresh lineage root whose Catalyst stats
+    come from real file sizes, killing the originStats growth described
+    in :func:`materialize`. Generations older than the previous one are
+    deleted eagerly (safe once a later eager materialization exists);
+    the final two generations are removed by ``close()`` or process
+    exit. On a production cluster this is the durable checkpoint commit
+    (Iceberg snapshot); locally it doubles as the stats firewall.
+    """
+
+    def __init__(self, spark, label: str = "loop"):
+        import atexit
+        import shutil
+        import tempfile
+
+        self._dir = tempfile.mkdtemp(prefix=f"wga_spill_{label}_")
+        self._gen = 0
+        self._shutil = shutil
+        atexit.register(shutil.rmtree, self._dir, ignore_errors=True)
+
+    def reset(self, df: DataFrame) -> DataFrame:
+        self._gen += 1
+        path = os.path.join(self._dir, f"gen_{self._gen}")
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        old = os.path.join(self._dir, f"gen_{self._gen - 2}")
+        self._shutil.rmtree(old, ignore_errors=True)
+        return out
+
+    def close(self) -> None:
+        self._shutil.rmtree(self._dir, ignore_errors=True)
 
 
 class UnionAccumulator:
