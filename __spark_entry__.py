@@ -5,9 +5,10 @@
 plus the training-data pipeline ops); each callable ``(spark, sf_dir) →
 DataFrame``.
 ``oracle_sql()`` — exact DuckDB ANSI-SQL twins for every
-SQL-expressible query. Iterative float algorithms (PageRank, LPA, BFS
-is oracled via bounded recursion; LSH-ANN and SimHash are rows-only)
-have their real verification in ``tests/`` against numpy oracles.
+SQL-expressible query (PageRank/LPA/BFS via recursive CTEs; MinHash,
+SimHash and LSH-ANN embed their seeded hash/hyperplane families as SQL
+literals; only HyperBall stays rows-only — approximate by design, its
+real verification is in ``tests/`` against an all-pairs-BFS oracle).
 """
 
 from __future__ import annotations
@@ -363,10 +364,25 @@ def q_ecc_directed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_radius_diameter_directed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed RadiusDiameter with radial-vertex gating (radius over
-    vertices reaching the largest SCC)."""
+    vertices reaching the largest SCC). Output level All: every vertex
+    closed, so the min-id witness rule is deterministic and the oracle
+    hash covers the witness columns too."""
     from webgraph_algo_rs_spark.operators import radius_diameter_directed
 
-    return radius_diameter_directed(_events_edges(spark, sf_dir))
+    return radius_diameter_directed(_events_edges(spark, sf_dir), output_level="all")
+
+
+def q_radius_diameter_directed_fast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed RadiusDiameter at output level RadiusDiameter (the
+    reference's actual level, `output_level.rs:247-287`): terminates as
+    soon as both scalars are bound-certified instead of closing every
+    vertex. Witness vertices are attained-but-tie-unspecified, so the
+    oracle compares the two certified values only."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+
+    return radius_diameter_directed(_events_edges(spark, sf_dir)).select(
+        "radius", "diameter"
+    )
 
 
 def q_hyperball_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,6 +471,56 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of ``cosine_topk_lsh``: the seeded hyperplanes
+    (``similarity._hyperplanes``, seed 42 — driver-side plan literals in
+    the Spark query too) are embedded as SQL literals, exactly as the
+    MinHash oracle embeds its affine hash family. dim=64 matches every
+    testdata SF."""
+    from webgraph_algo_rs_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 4, 42)
+    tables = []
+    for t in range(4):
+        bits = []
+        for p in range(8):
+            lits = ", ".join(repr(float(x)) for x in planes[t, p])
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0"
+                f" THEN {1 << (7 - p)} ELSE 0 END)"
+            )
+        tables.append(
+            f"SELECT vec_id, {t} AS table_id,\n  "
+            + "\n  + ".join(bits)
+            + " AS bucket FROM vall"
+        )
+    buckets = "\nUNION ALL\n".join(tables)
+    return f"""
+WITH vall AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), buckets AS (
+{buckets}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets a JOIN buckets b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+), vecs AS (
+  SELECT vec_id, v FROM vall WHERE list_sum([x * x for x in v]) > 0
+), s AS (
+  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS sim
+  FROM cand c
+  JOIN vecs q ON c.query_id = q.vec_id
+  JOIN vecs n ON c.neighbor_id = n.vec_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webgraph_algo_rs_spark.functions import cosine_topk_lsh
     from webgraph_algo_rs_spark.sources.tables import load_table
@@ -512,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_diameter_events": q_radius_diameter_events,
         "ecc_directed_events": q_ecc_directed_events,
         "radius_diameter_directed_events": q_radius_diameter_directed_events,
+        "radius_diameter_directed_fast_events": q_radius_diameter_directed_fast_events,
         "embedding_near_dups": q_embedding_near_dups,
         "transcript_edges": q_transcript_edges,
         "pagerank_transcripts": q_pagerank_transcripts,
@@ -716,6 +783,36 @@ SELECT
   (SELECT CAST(vertex AS BIGINT) FROM eccf
    ORDER BY e DESC, vertex ASC LIMIT 1) AS diameter_vertex
 """,
+        "radius_diameter_directed_fast_events": _EG + """
+, rf(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT rf.s, e.dst_vertex, rf.d + 1
+  FROM rf JOIN eg e ON rf.v = e.src_vertex WHERE rf.d < 100
+), distf AS (SELECT s, v, min(d) AS d FROM rf GROUP BY s, v),
+eccf AS (SELECT s AS vertex, max(d) AS e FROM distf GROUP BY s),
+scc0 AS (
+  SELECT r1.s AS v, min(r1.v) AS minw
+  FROM distf r1 JOIN distf r2 ON r1.s = r2.v AND r1.v = r2.s
+  GROUP BY r1.s
+),
+scc AS (
+  SELECT vt.v AS vertex, least(vt.v, coalesce(s.minw, vt.v)) AS component
+  FROM verts vt LEFT JOIN scc0 s ON vt.v = s.v
+),
+bigc AS (
+  SELECT component FROM scc GROUP BY component
+  ORDER BY count(*) DESC, component ASC LIMIT 1
+),
+radial AS (
+  SELECT DISTINCT df.s AS vertex
+  FROM distf df JOIN scc ON df.v = scc.vertex
+  WHERE scc.component = (SELECT component FROM bigc)
+)
+SELECT
+  (SELECT CAST(min(e) AS BIGINT) FROM eccf JOIN radial USING (vertex)) AS radius,
+  (SELECT CAST(max(e) AS BIGINT) FROM eccf) AS diameter
+""",
         "scc_condensation_cust_supp": """
 WITH cs AS (
   SELECT CAST(-o.o_custkey - 1 AS BIGINT) AS src, CAST(l.l_suppkey AS BIGINT) AS dst
@@ -884,4 +981,5 @@ WITH q AS (
 SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank
 FROM r WHERE rn <= 5
 """,
+        "ann_lsh": _ann_lsh_sql(),
     }

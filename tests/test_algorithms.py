@@ -4,6 +4,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import (
     COMPLETE5,
@@ -117,6 +118,32 @@ def test_triangles_complete5_exact(spark):
     assert triangle_count_global(df).first()["n_triangles"] == 10  # C(5,3)
     per = {r["vertex"]: r["n_triangles"] for r in triangle_count_per_vertex(df).collect()}
     assert per == {v: 6 for v in range(5)}  # C(4,2) each
+
+
+def test_triangles_hot_vertex_star_bounded(spark):
+    """Skew stress: a 10^5-leaf star (one celebrity vertex) plus one
+    leaf-leaf closing edge. Degree orientation must send every edge
+    leaf→center, so the center's *out*-degree is 0 and the wedge
+    self-join stays O(Σ outdeg²) = O(n), never the quadratic
+    center-fan-out join a naive formulation would plan."""
+    from webgraph_algo_rs_spark.operators.triangles import _oriented
+    from webgraph_algo_rs_spark.plans.superstep import SRC, DST
+
+    n = 100_000
+    star = spark.range(1, n + 1).select(
+        F.col("id").alias(SRC), F.lit(0).alias(DST), F.lit(1.0).alias("weight")
+    )
+    closing = spark.createDataFrame([(1, 2, 1.0)], f"{SRC} long, {DST} long, weight double")
+    edges = star.unionByName(closing)
+
+    oriented = _oriented(edges)
+    max_outdeg = oriented.groupBy("u").count().agg(F.max("count")).first()[0]
+    assert max_outdeg <= 2  # leaves carry ≤2 out-edges; the center carries 0
+
+    assert triangle_count_global(edges).first()["n_triangles"] == 1
+    per = triangle_count_per_vertex(edges)
+    assert per.filter(F.col("n_triangles") > 0).count() == 3  # the one triangle's corners
+    assert per.filter("vertex in (0, 1, 2)").agg(F.sum("n_triangles")).first()[0] == 3
 
 
 def test_bfs_fixtures(spark):

@@ -64,6 +64,54 @@ def test_cnr2000_scc_anchor(spark):
     os.environ.get("WGA_SLOW_TESTS") != "1",
     reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
 )
+def test_cnr2000_radius_diameter_directed(spark):
+    """Directed ExactSumSweep at reference scale — the reference
+    benchmarks SumSweep RADIUS_DIAMETER on exactly these graphs
+    (`/root/reference/benchmark.py:7-14`). Output level RadiusDiameter
+    (the early-stop path) on the 3.2M-arc cnr-2000; certified values are
+    cross-checked against exact multi-source-BFS eccentricities of 24
+    sampled pivots: every sample lower-bounds the diameter, and any
+    radial sample upper-bounds the radius."""
+    from pyspark.sql import functions as F
+
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+    from webgraph_algo_rs_spark.operators.bfs import bfs_distances
+    from webgraph_algo_rs_spark.operators.scc import radial_vertices
+    from webgraph_algo_rs_spark.sources.bvgraph import read_bv_edges
+
+    edges = read_bv_edges(spark, CNR).localCheckpoint(eager=True)
+    stats: dict = {}
+    row = radius_diameter_directed(edges, stats=stats).first()
+    assert 0 < row.radius <= row.diameter
+    assert stats["output_level"] == "radius_diameter"
+
+    # exact cross-check from 24 deterministic pivots (stride sampling)
+    samples = [int(v * 325557 / 24) for v in range(24)]
+    sample_df = spark.createDataFrame([(v,) for v in samples], "source long")
+    ecc_samples = {
+        r["source"]: r["e"]
+        for r in bfs_distances(edges, sample_df.select(F.col("source")))
+        .groupBy("source")
+        .agg(F.max("distance").alias("e"))
+        .collect()
+    }
+    assert row.diameter >= max(ecc_samples.values())
+    radial = {
+        r["vertex"]
+        for r in radial_vertices(edges)
+        .filter("is_radial")
+        .join(sample_df.select(F.col("source").alias("vertex")), "vertex", "left_semi")
+        .collect()
+    }
+    radial_samples = [ecc_samples[v] for v in samples if v in radial and v in ecc_samples]
+    if radial_samples:
+        assert row.radius <= min(radial_samples)
+
+
+@pytest.mark.skipif(
+    os.environ.get("WGA_SLOW_TESTS") != "1",
+    reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
+)
 def test_cnr2000_hyperball_golden_parity(spark):
     """HyperBall with the Jenkins hasher (seed 42, log2m=8) against the
     committed golden arrays produced by the independent *Java*

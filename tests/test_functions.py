@@ -372,3 +372,53 @@ def test_media_probe_real_headers(spark):
     assert not got[1]["metadata_consistent"]
     assert got[2]["metadata_consistent"] and got[2]["duration_ms"] == 1000
     assert not got[3]["metadata_consistent"] and got[3]["detected_format"] is None
+
+
+def test_probe_gated_routing_mixed_corpus(spark):
+    """Probe-gated decode routing at sf0.1-ish corpus scale: a 20k-asset
+    mix of valid / mislabeled / corrupt payloads. The decode stage must
+    see exactly the consistent assets — a decoder that raises on any
+    malformed payload proves the quarantine gate held."""
+    import struct
+
+    from webgraph_algo_rs_spark.functions.multimodal import probe_gated_features
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+        )
+
+    n = 20_000
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 64), 16 + (i % 48)
+        if i % 4 == 3:
+            rows.append((i, "image", bytearray(b"corrupt" + bytes([i % 251])), w, h, None))
+        elif i % 4 == 2:
+            rows.append((i, "image", bytearray(png(w, h)), w + 1, h, None))  # mislabeled
+        else:
+            rows.append((i, "image", bytearray(png(w, h)), w, h, None))
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, width int, height int, duration_ms int",
+    ).repartition(8)
+
+    def strict_decode(payload, kind, feat_dim):
+        import numpy as np
+
+        from webgraph_algo_rs_spark.functions.multimodal import probe_media
+
+        fmt, _, _, _ = probe_media(payload)
+        if fmt != "png":
+            raise AssertionError("decode reached a payload the probe gate should drop")
+        return np.zeros(feat_dim, dtype=np.float32), 1
+
+    features, quarantine = probe_gated_features(media, feat_dim=4, decode=strict_decode)
+    n_ok = features.count()       # raises inside the UDF if the gate leaked
+    n_bad = quarantine.count()
+    assert n_ok == n // 2         # i%4 in (0, 1)
+    assert n_bad == n - n_ok
+    ids_ok = {r["media_id"] for r in features.select("media_id").collect()}
+    ids_bad = {r["media_id"] for r in quarantine.select("media_id").collect()}
+    assert not (ids_ok & ids_bad) and len(ids_ok | ids_bad) == n

@@ -163,6 +163,56 @@ def test_directed_random_cross_check(spark, n, p, seed):
     assert got == want
 
 
+def test_radius_diameter_output_level_early_stop(spark):
+    """Output level RadiusDiameter (reference output_level.rs:247-287)
+    must certify the two scalars in FEWER rounds than All closes every
+    vertex (find_missing_nodes counts differ per level,
+    computer.rs:943-1014), while agreeing on the values. endgame_budget=0
+    keeps the adaptive loop honest at fixture scale."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+    from webgraph_algo_rs_spark.operators.sumsweep import directed_eccentricities
+
+    paths = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 8), (8, 9),
+             (9, 10), (10, 18), (11, 12), (13, 14), (14, 15), (15, 16), (16, 17)]
+    df = edge_df(spark, paths)
+    s_all: dict = {}
+    s_rd: dict = {}
+    directed_eccentricities(df, endgame_budget=0, stats=s_all).count()
+    row = radius_diameter_directed(df, endgame_budget=0, stats=s_rd).first()
+    assert (row.radius, row.diameter) == (4, 6)
+    assert s_rd["output_level"] == "radius_diameter"
+    assert s_rd["rounds"] < s_all["rounds"]
+    # the early-stop witnesses provably attain the certified values
+    ecc = {
+        r.vertex: r.ecc_f
+        for r in directed_eccentricities(df).collect()
+    }
+    assert ecc[row.diameter_vertex] == row.diameter
+    assert ecc[row.radius_vertex] == row.radius
+
+
+def test_dag_dp_spark_matches_driver(spark):
+    """The distributed layered condensation DP (dag_collect_limit
+    exceeded → _dag_dp_spark) must agree with the serial driver DP it
+    guards — the scale fallback for uk-2005-class DAGs that cannot be
+    collect()ed."""
+    from webgraph_algo_rs_spark.operators.sumsweep import directed_eccentricities
+
+    arcs = er_graph(22, 0.09, 7)
+    df = edge_df(spark, arcs)
+    base = {
+        r.vertex: (r.ecc_f, r.ecc_b)
+        for r in directed_eccentricities(df, endgame_budget=0).collect()
+    }
+    distributed = {
+        r.vertex: (r.ecc_f, r.ecc_b)
+        for r in directed_eccentricities(
+            df, endgame_budget=0, dag_collect_limit=0
+        ).collect()
+    }
+    assert base == distributed
+
+
 def test_pivot_path_matches_endgame(spark):
     """The adaptive pivot-rule path (endgame disabled) and the all-open
     endgame flood must agree — keeps the bound-tightening machinery

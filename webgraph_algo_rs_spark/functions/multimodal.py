@@ -154,6 +154,34 @@ PROBE_SCHEMA = (
 )
 
 
+def probe_gated_features(
+    media: DataFrame,
+    feat_dim: int = 16,
+    decode: Callable[[bytes, str, int], tuple[np.ndarray, int]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The production ingest route: header-probe every asset first, pay
+    the (expensive) decode only for assets whose container header parses
+    AND agrees with the declared metadata; everything else lands in a
+    quarantine frame with the probe evidence attached.
+
+    Returns ``(features, quarantine)``. The decode stage never sees a
+    corrupt or mislabeled payload, so a real decoder plugged into
+    ``decode=`` cannot be crashed by them — the routing is the part this
+    repo ships as real, tested Spark plumbing (the decode kernel itself
+    stays a documented stub until codecs exist in the image;
+    ``_fake_decode``/``resize_stub`` mark that boundary).
+    """
+    from pyspark.sql import functions as F
+
+    meta = media_metadata(media)
+    ok_ids = meta.filter("metadata_consistent").select("media_id")
+    features = extract_media_features(
+        media.join(ok_ids, "media_id", "left_semi"), feat_dim, decode
+    )
+    quarantine = meta.filter(~F.col("metadata_consistent"))
+    return features, quarantine
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Probe every payload's container header and cross-check it against
     the declared metadata columns: ``metadata_consistent`` is false when

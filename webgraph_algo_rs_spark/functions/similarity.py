@@ -106,7 +106,25 @@ def embedding_near_dup_pairs(
     NaN-is-greatest ordering).
     """
     if use_lsh is None:
-        use_lsh = embeddings.count() > lsh_auto_threshold
+        # LocalLimit short-circuits the scan: the auto decision costs
+        # O(threshold) rows read, not a full count() over the corpus
+        use_lsh = (
+            embeddings.select(id_col).limit(lsh_auto_threshold + 1).count()
+            > lsh_auto_threshold
+        )
+    if use_lsh and dim is None:
+        probe = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d"))
+            .filter(F.col("d") > 0)
+            .first()
+        )
+        if probe is None:
+            # empty / all-NULL corpus: nothing to bucket — the exact
+            # path returns the same (empty) result without needing dim
+            use_lsh = False
+        else:
+            dim = int(probe["d"])
     vecs = (
         embeddings.select(
             F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
@@ -115,8 +133,6 @@ def embedding_near_dup_pairs(
         .filter(F.col("n") > 0)
     )
     if use_lsh:
-        if dim is None:
-            dim = len(embeddings.select(vec_col).first()[0])
         buckets = lsh_buckets(embeddings, dim, id_col=id_col, vec_col=vec_col)
         a = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
         b = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_b"))

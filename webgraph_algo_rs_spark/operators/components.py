@@ -52,8 +52,9 @@ def connected_components(
     """
     spark = edges.sparkSession
     sym_plan = symmetrize(edges).select(SRC, DST)
+    drop_bucketed = None
     if bucketize_edges:
-        sym = bucketize(sym_plan, SRC, table_name="wga_cc_edges")
+        sym, drop_bucketed = bucketize(sym_plan, SRC, table_name="wga_cc_edges")
     else:
         sym = materialize(sym_plan)
 
@@ -108,6 +109,10 @@ def connected_components(
 
     if stats is not None:
         stats.update(iterations=it + 1 - start_iter, changed=changed)
+    if drop_bucketed is not None:
+        # state is materialized every superstep, so the result's lineage
+        # no longer scans the scratch table — safe to drop it here
+        drop_bucketed()
     return state.select("vertex", F.col("label").alias("component"))
 
 

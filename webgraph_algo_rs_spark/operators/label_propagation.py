@@ -45,8 +45,11 @@ def label_propagation(
     bucketed on ``src`` once so each superstep shuffles only labels.
     """
     spark = edges.sparkSession
+    drop_bucketed = None
     if bucketize_edges:
-        sym = bucketize(symmetrize(edges), SRC, table_name="wga_lpa_edges")
+        sym, drop_bucketed = bucketize(
+            symmetrize(edges), SRC, table_name="wga_lpa_edges"
+        )
     else:
         sym = materialize(symmetrize(edges))
 
@@ -103,4 +106,8 @@ def label_propagation(
 
     if stats is not None:
         stats.update(iterations=it + 1 - start_iter, changed=changed)
+    if drop_bucketed is not None:
+        # `stepped` was materialized, so the result no longer reads the
+        # scratch table; drop it to avoid leaking an edge copy per run
+        drop_bucketed()
     return state

@@ -65,10 +65,11 @@ def pagerank(
         SRC, DST, (F.col(W) / F.col("out_w")).alias("nw")
     )
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    drop_bucketed = None
     if bucketize_edges:
         # big-graph path: pay one bucketed write so every superstep
         # shuffles only the rank vector, never the edge table
-        norm_edges = bucketize(
+        norm_edges, drop_bucketed = bucketize(
             norm_plan, SRC, n_buckets=n_buckets, table_name="wga_pr_edges"
         )
     else:
@@ -180,4 +181,7 @@ def pagerank(
         # corrupting recomputation if cached blocks are evicted.
         result = materialize(result)
         prev_handle.unpersist()
+        # the bucketed table is per-run scratch: drop it or every run
+        # leaks a full normalized-edge copy in the warehouse dir
+        drop_bucketed()
     return result

@@ -182,6 +182,7 @@ def directed_eccentricities(
     pivots_per_rule: int = 4,
     stats: dict | None = None,
     endgame_budget: int = 50_000_000,
+    dag_collect_limit: int = 5_000_000,
 ) -> DataFrame:
     """Exact *directed* forward/backward eccentricities
     ``(vertex, component, ecc_f, ecc_b)`` — the reference's
@@ -221,8 +222,55 @@ def directed_eccentricities(
       ``high_f(v) ≤ d_B(v, pivot) + ecc_f_ub(pivot)``,
       ``high_b(v) ≤ d_F(pivot, v) + ecc_b_ub(pivot)``.
     """
+    state, _ = _directed_ess_state(
+        edges,
+        output_level="all",
+        radial=None,
+        max_rounds=max_rounds,
+        pivots_per_rule=pivots_per_rule,
+        stats=stats,
+        endgame_budget=endgame_budget,
+        dag_collect_limit=dag_collect_limit,
+    )
+    return state.select(
+        "vertex",
+        "component",
+        F.col("low_f").alias("ecc_f"),
+        F.col("low_b").alias("ecc_b"),
+    )
+
+
+def _directed_ess_state(
+    edges: DataFrame,
+    output_level: str = "all",
+    radial: DataFrame | None = None,
+    max_rounds: int = 10_000,
+    pivots_per_rule: int = 4,
+    stats: dict | None = None,
+    endgame_budget: int = 50_000_000,
+    dag_collect_limit: int = 5_000_000,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared directed-ESS bound loop; returns ``(state, radial_set)``.
+
+    ``output_level`` mirrors the reference's ``OutputLevel``
+    (`/root/reference/src/algo/exact_sum_sweep/output_level.rs:66-451`,
+    ``find_missing_nodes`` `computer.rs:943-1014`): the *missing set* —
+    the vertices a round still has to target — depends on what the
+    caller asked for, and the loop stops as soon as it is empty:
+
+    * ``"all"``: every vertex with an open forward or backward bound;
+    * ``"radius_diameter"``: only vertices that can still move the two
+      scalars — ``high_f(v) > D_L`` (``D_L = max low_f``, the certified
+      diameter lower bound: v could still push the diameter up) or
+      radial ``v`` with ``low_f(v) < R_U`` (``R_U = min high_f`` over
+      the radial set: v could still pull the radius down). Closing
+      every vertex is the dominant cost on large graphs when only two
+      scalars are wanted — this is the reference's biggest directed-ESS
+      optimization.
+    """
     from webgraph_algo_rs_spark.operators.bfs import bfs_distances
     from webgraph_algo_rs_spark.operators.scc import (
+        radial_vertices,
         scc_condensation,
         strongly_connected_components,
     )
@@ -234,6 +282,17 @@ def directed_eccentricities(
     transpose = arcs.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     comps = materialize(strongly_connected_components(edges))
     cond = materialize(scc_condensation(edges, comps))
+    rad = None
+    if output_level == "radius_diameter":
+        if radial is None:
+            rad = radial_vertices(edges).filter("is_radial").select("vertex")
+        else:
+            rad = (
+                radial.filter("is_radial")
+                if "is_radial" in radial.columns
+                else radial
+            ).select("vertex")
+        rad = materialize(rad)
     state = materialize(
         comps.select(
             "vertex",
@@ -246,20 +305,19 @@ def directed_eccentricities(
     )
     if state.isEmpty():
         if stats is not None:
-            stats.update(rounds=0)
-        return state.select("vertex", "component", "low_f", "low_b").select(
-            "vertex",
-            "component",
-            F.col("low_f").alias("ecc_f"),
-            F.col("low_b").alias("ecc_b"),
-        )
+            stats.update(rounds=0, output_level=output_level)
+        return state, rad
 
     n_vertices = state.count()
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        open_v = state.filter(
-            (F.col("low_f") < F.col("high_f")) | (F.col("low_b") < F.col("high_b"))
-        )
+        if output_level == "radius_diameter":
+            open_v = _missing_radius_diameter(state, rad)
+        else:
+            open_v = state.filter(
+                (F.col("low_f") < F.col("high_f"))
+                | (F.col("low_b") < F.col("high_b"))
+            )
         n_open = open_v.count()
         if n_open == 0:
             break
@@ -281,16 +339,30 @@ def directed_eccentricities(
             )
         else:
             state = _all_cc_upper_bound(
-                spark, arcs, transpose, state, comps, cond, bfs_distances
+                spark, arcs, transpose, state, comps, cond, bfs_distances,
+                dag_collect_limit=dag_collect_limit,
             )
     if stats is not None:
-        stats.update(rounds=rounds)
-    return state.select(
-        "vertex",
-        "component",
-        F.col("low_f").alias("ecc_f"),
-        F.col("low_b").alias("ecc_b"),
+        stats.update(rounds=rounds, output_level=output_level)
+    return state, rad
+
+
+def _missing_radius_diameter(state: DataFrame, rad: DataFrame) -> DataFrame:
+    """Vertices that can still change radius or diameter
+    (``find_missing_nodes`` at level RadiusDiameter,
+    `computer.rs:943-1014`). Two scalar aggs per round — negligible next
+    to the round's BFS."""
+    row = state.agg(F.max("low_f").alias("dl")).first()
+    d_l = row["dl"] if row["dl"] is not None else 0
+    ru_row = (
+        state.join(rad, "vertex", "left_semi").agg(F.min("high_f").alias("ru")).first()
     )
+    r_u = ru_row["ru"] if ru_row["ru"] is not None else 0
+    diam_open = state.filter(F.col("high_f") > F.lit(d_l))
+    rad_open = state.join(rad, "vertex", "left_semi").filter(
+        F.col("low_f") < F.lit(r_u)
+    )
+    return diam_open.unionByName(rad_open).dropDuplicates(["vertex"])
 
 
 def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
@@ -395,8 +467,26 @@ def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
     )
 
 
-def _all_cc_upper_bound(spark, arcs, transpose, state, comps, cond, bfs_distances):
-    """The reference's AllCCUpperBound step (`computer.rs:818-936`)."""
+def _all_cc_upper_bound(
+    spark,
+    arcs,
+    transpose,
+    state,
+    comps,
+    cond,
+    bfs_distances,
+    dag_collect_limit: int = 5_000_000,
+):
+    """The reference's AllCCUpperBound step (`computer.rs:818-936`).
+
+    The pivot-eccentricity DP over the SCC condensation runs on the
+    driver while the DAG fits ``dag_collect_limit`` rows (the reference
+    runs it serially too, `computer.rs:838-877`, and the condensation is
+    usually orders of magnitude smaller than the graph — cnr-2000's
+    3.2M arcs condense to ~113K). Beyond the limit (uk-2005-class DAGs
+    with tens of millions of bridge arcs would need O(|DAG|) driver
+    memory) the same DP runs distributed, layer by Kahn layer, in
+    :func:`_dag_dp_spark` — no driver-side collection at any size."""
     # find_best_pivot (`computer.rs:424-479`): per SCC, minimize
     # low_f + low_b + n·closed_f + n·closed_b (prefer open vertices),
     # tie-break min vertex id
@@ -421,26 +511,28 @@ def _all_cc_upper_bound(spark, arcs, transpose, state, comps, cond, bfs_distance
     pf = materialize(bfs_distances(arcs, seeds, vertex_filter=members))
     pb = materialize(bfs_distances(transpose, seeds, vertex_filter=members))
     p2c = pivots.select(F.col("pivot").alias("source"), "component")
-    ecc0_f = {
-        r["component"]: r["e"]
-        for r in pf.join(p2c, "source").groupBy("component").agg(
-            F.max("distance").alias("e")
-        ).collect()
-    }
-    ecc0_b = {
-        r["component"]: r["e"]
-        for r in pb.join(p2c, "source").groupBy("component").agg(
-            F.max("distance").alias("e")
-        ).collect()
-    }
-    pivot_high = {
-        r["component"]: (r["high_f"], r["high_b"])
-        for r in pivots.join(
-            state.select(F.col("vertex").alias("pivot"), "high_f", "high_b"), "pivot"
-        ).collect()
-    }
+    # per-component DP inputs: pivot eccentricity inside its SCC and the
+    # pivot's current upper bounds (the DP's clamp)
+    nodes = materialize(
+        pf.join(p2c, "source")
+        .groupBy("component")
+        .agg(F.max("distance").alias("ecc0_f"))
+        .join(
+            pb.join(p2c, "source")
+            .groupBy("component")
+            .agg(F.max("distance").alias("ecc0_b")),
+            "component",
+        )
+        .join(
+            pivots.join(
+                state.select(F.col("vertex").alias("pivot"), "high_f", "high_b"),
+                "pivot",
+            ).select("component", "high_f", "high_b"),
+            "component",
+        )
+    )
     # DAG edges with bridge-arc weights d_F(pivot_c, s) + 1 + d_B(e, pivot_d)
-    dag = (
+    dag_plan = (
         cond.join(
             pf.select(F.col("vertex").alias("bridge_src"), F.col("distance").alias("df")),
             "bridge_src",
@@ -450,10 +542,44 @@ def _all_cc_upper_bound(spark, arcs, transpose, state, comps, cond, bfs_distance
             "bridge_dst",
         )
         .select("c_src", "c_dst", (F.col("df") + 1 + F.col("db")).alias("w"))
-        .collect()
     )
-    # driver-side DP over the condensation (component-sized data; the
-    # reference runs this serially too, computer.rs:838-877)
+    dag_df = materialize(dag_plan)
+    n_dag = dag_df.count()
+    if n_dag > dag_collect_limit or nodes.count() > dag_collect_limit:
+        ub_df = _dag_dp_spark(nodes, dag_df)
+    else:
+        ub_df = _dag_dp_driver(spark, nodes, dag_df)
+    # refine: high_f(v) ≤ d_B(v→pivot) + ub_f;  high_b(v) ≤ d_F(pivot→v) + ub_b
+    db = pb.select("vertex", F.col("distance").alias("dbv"))
+    df_ = pf.select("vertex", F.col("distance").alias("dfv"))
+    return materialize(
+        state.join(ub_df, "component", "left")
+        .join(db, "vertex", "left")
+        .join(df_, "vertex", "left")
+        .select(
+            "vertex",
+            "component",
+            "low_f",
+            F.least(
+                "high_f", F.coalesce(F.col("dbv") + F.col("ub_f"), F.lit(_INF))
+            ).alias("high_f"),
+            "low_b",
+            F.least(
+                "high_b", F.coalesce(F.col("dfv") + F.col("ub_b"), F.lit(_INF))
+            ).alias("high_b"),
+        )
+    )
+
+
+def _dag_dp_driver(spark, nodes: DataFrame, dag_df: DataFrame) -> DataFrame:
+    """Serial pivot-eccentricity DP (`computer.rs:838-877`) — collects
+    the condensation; callers gate on its size. Returns a broadcast
+    ``(component, ub_f, ub_b)`` frame."""
+    node_rows = nodes.collect()
+    ecc0_f = {r["component"]: r["ecc0_f"] for r in node_rows}
+    ecc0_b = {r["component"]: r["ecc0_b"] for r in node_rows}
+    pivot_high = {r["component"]: (r["high_f"], r["high_b"]) for r in node_rows}
+    dag = dag_df.collect()
     out_edges: dict[int, list[tuple[int, int]]] = {}
     in_edges: dict[int, list[tuple[int, int]]] = {}
     outdeg: dict[int, int] = {c: 0 for c in ecc0_f}
@@ -487,30 +613,125 @@ def _all_cc_upper_bound(spark, arcs, transpose, state, comps, cond, bfs_distance
         for b, w in in_edges.get(c, []):
             v = max(v, w + ub_b[b])
         ub_b[c] = min(v, pivot_high[c][1])
-    ub_df = F.broadcast(
+    return F.broadcast(
         spark.createDataFrame(
             [(int(c), int(ub_f[c]), int(ub_b[c])) for c in ub_f],
             "component long, ub_f long, ub_b long",
         )
     )
-    # refine: high_f(v) ≤ d_B(v→pivot) + ub_f;  high_b(v) ≤ d_F(pivot→v) + ub_b
-    db = pb.select("vertex", F.col("distance").alias("dbv"))
-    df_ = pf.select("vertex", F.col("distance").alias("dfv"))
+
+
+def _dag_dp_spark(nodes: DataFrame, dag_df: DataFrame) -> DataFrame:
+    """Distributed twin of :func:`_dag_dp_driver` for condensations too
+    big to collect: Kahn out-degree peel assigns every component a
+    sink-first layer, then each DP direction processes one layer per
+    Spark job (a layer-k node's out-edges all land in layers < k, so the
+    children's values are final when the parent folds them). Cost is
+    O(DAG depth) jobs — the price of never holding the DAG on the
+    driver. Returns ``(component, ub_f, ub_b)``."""
+    from webgraph_algo_rs_spark.plans.superstep import UnionAccumulator
+
+    # --- layering: peel zero-out-degree nodes, removing their in-edges
+    layers: list[DataFrame] = []
+    cur_nodes = nodes.select("component")
+    cur_edges = dag_df.select("c_src", "c_dst")
+    while True:
+        sinks = materialize(
+            cur_nodes.join(
+                cur_edges.select(F.col("c_src").alias("component")).distinct(),
+                "component",
+                "left_anti",
+            )
+        )
+        if sinks.isEmpty():
+            break
+        layers.append(sinks)
+        cur_nodes = materialize(cur_nodes.join(sinks, "component", "left_anti"))
+        cur_edges = materialize(
+            cur_edges.join(
+                sinks.select(F.col("component").alias("c_dst")), "c_dst", "left_anti"
+            )
+        )
+
+    def direction(
+        dp_layers: list[DataFrame], ecc0_col: str, high_col: str, src: str, dst: str
+    ) -> DataFrame:
+        """Fold one DP direction layer-by-layer; edges read ``src→dst``
+        with the ``dst`` side final before the ``src`` side folds."""
+        acc = UnionAccumulator()
+        done: DataFrame | None = None
+        for layer in dp_layers:
+            base = layer.join(nodes, "component")
+            if done is None:
+                cand = None
+            else:
+                cand = (
+                    dag_df.join(
+                        layer.select(F.col("component").alias(src)), src
+                    )
+                    .join(
+                        done.select(
+                            F.col("component").alias(dst), F.col("ub").alias("ub_d")
+                        ),
+                        dst,
+                    )
+                    .groupBy(src)
+                    .agg(F.max(F.col("w") + F.col("ub_d")).alias("cand"))
+                    .select(F.col(src).alias("component"), "cand")
+                )
+            stepped = base.join(cand, "component", "left") if cand is not None else (
+                base.withColumn("cand", F.lit(None).cast("long"))
+            )
+            # materialize per layer: each layer's plan references the
+            # whole accumulated union, so lazy nesting would grow the
+            # plan multiplicatively within a fold window
+            ub = materialize(
+                stepped.select(
+                    "component",
+                    F.least(
+                        F.col(high_col),
+                        F.greatest(F.col(ecc0_col), F.coalesce("cand", F.lit(0))),
+                    ).alias("ub"),
+                )
+            )
+            acc.add(ub)
+            done = acc.result()
+        out = acc.result()
+        return out if out is not None else nodes.select(
+            "component", F.lit(0).cast("long").alias("ub")
+        ).limit(0)
+
+    # forward DP: sink-first (layer order), edges c_src→c_dst
+    fwd = direction(layers, "ecc0_f", "high_f", "c_src", "c_dst")
+    # backward DP: source-first — same peel on the transposed DAG would
+    # reorder layers; equivalently run the fold over reversed edge roles
+    # with in-degree layering, i.e. re-peel on the transpose
+    layers_rev: list[DataFrame] = []
+    cur_nodes = nodes.select("component")
+    cur_edges = dag_df.select("c_src", "c_dst")
+    while True:
+        sources = materialize(
+            cur_nodes.join(
+                cur_edges.select(F.col("c_dst").alias("component")).distinct(),
+                "component",
+                "left_anti",
+            )
+        )
+        if sources.isEmpty():
+            break
+        layers_rev.append(sources)
+        cur_nodes = materialize(cur_nodes.join(sources, "component", "left_anti"))
+        cur_edges = materialize(
+            cur_edges.join(
+                sources.select(F.col("component").alias("c_src")),
+                "c_src",
+                "left_anti",
+            )
+        )
+    bwd = direction(layers_rev, "ecc0_b", "high_b", "c_dst", "c_src")
     return materialize(
-        state.join(ub_df, "component", "left")
-        .join(db, "vertex", "left")
-        .join(df_, "vertex", "left")
-        .select(
-            "vertex",
-            "component",
-            "low_f",
-            F.least(
-                "high_f", F.coalesce(F.col("dbv") + F.col("ub_f"), F.lit(_INF))
-            ).alias("high_f"),
-            "low_b",
-            F.least(
-                "high_b", F.coalesce(F.col("dfv") + F.col("ub_b"), F.lit(_INF))
-            ).alias("high_b"),
+        fwd.withColumnRenamed("ub", "ub_f").join(
+            bwd.withColumnRenamed("ub", "ub_b"), "component"
         )
     )
 
@@ -519,6 +740,10 @@ def radius_diameter_directed(
     edges: DataFrame,
     radial: DataFrame | None = None,
     stats: dict | None = None,
+    output_level: str = "radius_diameter",
+    max_rounds: int = 10_000,
+    pivots_per_rule: int = 4,
+    endgame_budget: int = 50_000_000,
 ) -> DataFrame:
     """One-row ``(radius, diameter, radius_vertex, diameter_vertex)``
     for the *directed* graph (reference
@@ -527,7 +752,62 @@ def radius_diameter_directed(
     over the **radial** set (default: vertices that reach the largest
     SCC, `computer.rs:488-534` — pass ``radial`` (vertex[, is_radial])
     to override, the reference's ``Some(radial_vertices)`` argument).
-    Ties broken by min vertex id."""
+
+    ``output_level="radius_diameter"`` (default, the reference's actual
+    RadiusDiameter level) stops as soon as both scalars are *bound*-
+    certified — no vertex's ``high_f`` exceeds the certified diameter
+    and no radial vertex's ``low_f`` undercuts the certified radius —
+    without closing every vertex. The returned witnesses are vertices
+    that provably attain the value (their bounds are closed at it), but
+    when several vertices attain it the choice follows the bound
+    evidence, not a global min-id rule. ``output_level="all"`` closes
+    every vertex first and returns the min-id witness among all
+    attaining vertices — deterministic, at All's full cost."""
+    if output_level == "radius_diameter":
+        state, rad = _directed_ess_state(
+            edges,
+            output_level="radius_diameter",
+            radial=radial,
+            max_rounds=max_rounds,
+            pivots_per_rule=pivots_per_rule,
+            stats=stats,
+            endgame_budget=endgame_budget,
+        )
+        # D_L is certified as the diameter (no high_f exceeds it) and is
+        # attained by its argmax-low vertex, whose bounds close at it;
+        # symmetrically min high_f over radial is the radius and its
+        # argmin vertex attains it (low_f >= R_U for every radial vertex
+        # once the missing set is empty).
+        d = state.agg(
+            F.max("low_f").alias("diameter"),
+            F.max_by(
+                "vertex", F.struct(F.col("low_f"), (-F.col("vertex")).alias("t"))
+            ).alias("diameter_vertex"),
+        ).first()
+        r = (
+            state.join(rad, "vertex", "left_semi")
+            .agg(
+                F.min("high_f").alias("radius"),
+                F.min_by(
+                    "vertex", F.struct(F.col("high_f"), F.col("vertex"))
+                ).alias("radius_vertex"),
+            )
+            .first()
+        )
+        return edges.sparkSession.createDataFrame(
+            [
+                (
+                    int(r["radius"]) if r["radius"] is not None else 0,
+                    int(d["diameter"]) if d["diameter"] is not None else 0,
+                    int(r["radius_vertex"]) if r["radius_vertex"] is not None else -1,
+                    int(d["diameter_vertex"])
+                    if d["diameter_vertex"] is not None
+                    else -1,
+                )
+            ],
+            "radius long, diameter long, radius_vertex long, diameter_vertex long",
+        )
+
     from webgraph_algo_rs_spark.operators.scc import radial_vertices
 
     ecc = directed_eccentricities(edges, stats=stats)

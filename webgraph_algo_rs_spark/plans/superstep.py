@@ -169,12 +169,51 @@ def undirected_canonical(edges: DataFrame) -> DataFrame:
     )
 
 
+def _warehouse_path(spark) -> str | None:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if not wh:
+        return None
+    from urllib.parse import urlparse
+
+    return urlparse(wh).path or wh
+
+
+def _sweep_stale_buckets(spark, base: str) -> None:
+    """Remove orphan bucketed-table dirs left by *dead* processes.
+
+    Each bucketized run embeds its pid in the table name; a crashed run
+    can't drop its own table, so every new run garbage-collects peers
+    whose pid no longer exists. Live processes are never touched."""
+    loc = _warehouse_path(spark)
+    if not loc:
+        return
+    import re
+    import shutil
+
+    pat = re.compile(re.escape(base) + r"_(\d+)_\d+$")
+    try:
+        entries = os.listdir(loc)
+    except OSError:
+        return
+    for name in entries:
+        m = pat.match(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(loc.rstrip("/"), name), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+
+
 def bucketize(
     df: DataFrame,
     key: str,
     n_buckets: int = 64,
     table_name: str = "wga_bucketed_edges",
-) -> DataFrame:
+) -> tuple[DataFrame, Callable[[], None]]:
     """Persist ``df`` as a bucketed+sorted table on ``key`` and read it
     back, so iterative joins shuffle only the *state* side.
 
@@ -188,26 +227,39 @@ def bucketize(
     bucket-partitioned edge table; ``saveAsTable`` is the local-mode
     equivalent. Write cost is paid once and amortized over all
     iterations.
+
+    Returns ``(table_df, drop)``: call ``drop()`` once the algorithm has
+    materialized its result off the table's lineage — the scratch table
+    is per-run state, not an output, and a 157M-edge run otherwise leaks
+    a full normalized edge copy in the warehouse dir per invocation.
     """
     spark = df.sparkSession
+    base = table_name
+    _sweep_stale_buckets(spark, base)
     # unique physical name per call: pid guards cross-process warehouse
     # sharing, the counter guards interleaved runs in one session
-    table_name = f"{table_name}_{os.getpid()}_{next(_BUCKET_SEQ)}"
+    table_name = f"{base}_{os.getpid()}_{next(_BUCKET_SEQ)}"
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # the in-memory catalog forgets tables across sessions but their
     # files survive in the warehouse dir; remove orphan locations or the
     # write fails with LOCATION_ALREADY_EXISTS
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh:
+    loc = _warehouse_path(spark)
+    if loc:
         import shutil
-        from urllib.parse import urlparse
 
-        loc = urlparse(wh).path or wh
         shutil.rmtree(f"{loc.rstrip('/')}/{table_name}", ignore_errors=True)
     df.write.bucketBy(n_buckets, key).sortBy(key).mode("overwrite").saveAsTable(
         table_name
     )
-    return spark.table(table_name)
+
+    def drop() -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        if loc:
+            import shutil
+
+            shutil.rmtree(f"{loc.rstrip('/')}/{table_name}", ignore_errors=True)
+
+    return spark.table(table_name), drop
 
 
 def salted_agg(

@@ -49,11 +49,26 @@ def incremental_edges(
     appeared in data arriving after stream start, because
     ``extract_edges``'s dictionary join is inner (ADVICE r1). When
     ``dict_path`` is given, the current dictionary is persisted after
-    each batch so consumers can resolve ids → keys.
+    each batch so consumers can resolve ids → keys — and read back on
+    restart: committed batches do NOT replay from the stream checkpoint,
+    so ids they assigned exist only in the persisted dictionary. Seeding
+    from ``full_transcripts`` alone would re-assign those keys fresh,
+    different ids, breaking the append-only id-stability guarantee.
     """
     from webgraph_algo_rs_spark.extraction import build_vertices, dense_ids
 
-    seeded = build_vertices(full_transcripts).localCheckpoint(eager=True)
+    seeded = None
+    if dict_path is not None:
+        try:
+            seeded = (
+                full_transcripts.sparkSession.read.parquet(dict_path)
+                .select("kind", "key", "vertex_id")
+                .localCheckpoint(eager=True)
+            )
+        except Exception:  # noqa: BLE001 — first run: no dictionary yet
+            seeded = None
+    if seeded is None:
+        seeded = build_vertices(full_transcripts).localCheckpoint(eager=True)
     start_max = seeded.agg(F.max("vertex_id")).first()[0]
     state = {"vertices": seeded, "next_id": (start_max if start_max is not None else -1) + 1}
 
