@@ -163,6 +163,47 @@ def test_directed_random_cross_check(spark, n, p, seed):
     assert got == want
 
 
+def test_directed_clique(spark):
+    """Reference test_clique (tests/test_exact_sum_sweep.rs:187-229):
+    every vertex of a K_n clique has forward eccentricity 1, and with a
+    restricted radial set the radius vertex comes from that set."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+    from webgraph_algo_rs_spark.operators.sumsweep import directed_eccentricities
+
+    size = 12
+    arcs = [(i, j) for i in range(size) for j in range(size) if i != j]
+    df = edge_df(spark, arcs)
+    ecc = {r.vertex: r.ecc_f for r in directed_eccentricities(df).collect()}
+    assert ecc == {v: 1 for v in range(size)}
+    radial = spark.createDataFrame([(3,), (7,), (9,)], "vertex bigint")
+    row = radius_diameter_directed(df, radial=radial).first()
+    assert (row.radius, row.diameter) == (1, 1)
+    assert row.radius_vertex in (3, 7, 9)
+
+
+def test_directed_sparse_and_empty_radial(spark):
+    """Reference test_sparse (radius 1 at the 2-cycle {10,65} — the
+    largest SCC) and test_no_radial_vertices (empty radial set: the
+    reference returns a usize::MAX sentinel; our contract is radius 0
+    with radius_vertex -1) — tests/test_exact_sum_sweep.rs:249-303."""
+    from webgraph_algo_rs_spark.operators import radius_diameter_directed
+
+    sparse = [(10, 32), (10, 65), (65, 10), (21, 44)]
+    row = radius_diameter_directed(edge_df(spark, sparse)).first()
+    assert (row.radius, row.radius_vertex) == (1, 10)
+
+    empty_radial = spark.createDataFrame([], "vertex bigint")
+    row = radius_diameter_directed(
+        edge_df(spark, [(0, 1)]), radial=empty_radial
+    ).first()
+    assert (row.radius, row.radius_vertex) == (0, -1)
+    # output level All agrees on the empty-radial sentinel
+    row = radius_diameter_directed(
+        edge_df(spark, [(0, 1)]), radial=empty_radial, output_level="all"
+    ).first()
+    assert (row.radius, row.radius_vertex) == (0, -1)
+
+
 def test_radius_diameter_output_level_early_stop(spark):
     """Output level RadiusDiameter (reference output_level.rs:247-287)
     must certify the two scalars in FEWER rounds than All closes every

@@ -54,18 +54,37 @@ spark.stop()
 """
 
 
-def ensure_input(n_convs: int) -> str:
-    path = f"/tmp/scaling_edges_{n_convs}.parquet"
+def ensure_input(n_convs: int, doubled: bool = True) -> str:
+    """Materialize the benchmark edge table: the extraction of
+    ``n_convs`` synthetic transcripts (seed 42) and — for the headline
+    input — a second vertex-disjoint copy of it (ids offset past the max
+    vertex), doubling edges without changing per-vertex structure. The
+    recorded 157M-edge run is ``n_convs=17_000_000, doubled`` — this
+    function IS the input recipe, so the committed results regenerate
+    from the tool alone."""
+    tag = f"{n_convs}x2" if doubled else str(n_convs)
+    path = f"/tmp/scaling_edges_{tag}.parquet"
     if os.path.exists(path):
         return path
     gen = f"""
 import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import functions as F
 from webgraph_algo_rs_spark.session import get_spark
 from webgraph_algo_rs_spark.sources.transcripts import gen_transcripts
 from webgraph_algo_rs_spark.extraction import extract_edges
 spark = get_spark(app_name="gen", master="local[32]")
-extract_edges(gen_transcripts(spark, {n_convs}, seed=42)).repartition(64) \\
-    .write.mode("overwrite").parquet({path!r})
+base = extract_edges(gen_transcripts(spark, {n_convs}, seed=42))
+if {doubled!r}:
+    base = base.localCheckpoint(eager=True)
+    off = base.agg(F.max(F.greatest("src_vertex", "dst_vertex"))).first()[0] + 1
+    base = base.unionByName(
+        base.select(
+            (F.col("src_vertex") + off).alias("src_vertex"),
+            (F.col("dst_vertex") + off).alias("dst_vertex"),
+            "weight",
+        )
+    )
+base.repartition(64).write.mode("overwrite").parquet({path!r})
 spark.stop()
 """
     subprocess.run([sys.executable, "-c", gen], check=True)
@@ -105,7 +124,7 @@ def run(cores: int, iters: int, edges_path: str) -> dict:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 17_000_000
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     edges_path = ensure_input(n_convs)
     r2 = run(2, iters, edges_path)
@@ -138,7 +157,9 @@ def main() -> None:
         )
 
     input_desc = os.environ.get(
-        "SCALING_INPUT_DESC", f"extracted from {n_convs:,} synthetic transcripts, seed 42"
+        "SCALING_INPUT_DESC",
+        f"two vertex-disjoint copies of the extraction of {n_convs:,} "
+        "synthetic transcripts, seed 42",
     )
     lines = [
         "# BENCH_SCALING — N vs 4N parallelism (PageRank supersteps)",
