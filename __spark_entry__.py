@@ -7,8 +7,9 @@ DataFrame``.
 ``oracle_sql()`` — exact DuckDB ANSI-SQL twins for every
 SQL-expressible query (PageRank/LPA/BFS via recursive CTEs; MinHash,
 SimHash and LSH-ANN embed their seeded hash/hyperplane families as SQL
-literals; only HyperBall stays rows-only — approximate by design, its
-real verification is in ``tests/`` against an all-pairs-BFS oracle).
+literals; HyperBall replays its splitmix64 HLL sketches bit-exactly in
+HUGEINT SQL over recursive-CTE exact distances — every query has an
+oracle).
 """
 
 from __future__ import annotations
@@ -186,6 +187,89 @@ WITH t AS (
 ), hashed AS (
   SELECT doc_id, sh, [md5(s) for s in sh] AS hx FROM shingled
 )
+"""
+
+
+def _hyperball_sql() -> str:
+    """DuckDB twin of ``operators.hyperball`` (log2m=8, seed 42,
+    splitmix64, run to stabilization).
+
+    HyperBall's max-merge is lossless for HLL registers — the sketch of
+    a union IS the elementwise max — so after ``t`` supersteps every
+    vertex's sketch equals the registers of its *exact* forward ball
+    ``B_t(v)``, which SQL can compute from recursive-CTE distances. The
+    splitmix64 hash is replayed bit-exactly in HUGEINT arithmetic
+    (mod-2^64 after every step; the 64x64-bit multiply is split into
+    32-bit halves so no product exceeds int128), and the register math
+    (j = h & 255, rho = ctz((h >> 8) | 2^63) + 1, harmonic-mean
+    estimate with linear-counting correction, per-superstep clamped
+    deltas) mirrors ``functions/hll.py:154-194`` /
+    ``operators/hyperball.py:230-249`` exactly; float sums agree to
+    ~1e-16, far inside the harness's 9-significant-digit rounding."""
+    P, B = 1 << 64, 1 << 32
+    c0 = (43 * 0x9E3779B97F4A7C15) % P  # (seed+1)*gamma mod 2^64, seed 42
+    m1, m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    sent = 1 << 63
+
+    def mulmod(const: int) -> str:
+        lo, hi = const % B, const >> 32
+        return (
+            f"((z % {B}) * {lo}"
+            f" + (((z % {B}) * {hi} + (z >> 32) * {lo}) % {B}) * {B}) % {P}"
+        )
+
+    return f"""
+, rf(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT rf.s, e.dst_vertex, rf.d + 1
+  FROM rf JOIN eg e ON rf.v = e.src_vertex WHERE rf.d < 100
+), distf AS (SELECT s, v, min(d) AS d FROM rf GROUP BY s, v)
+, h0 AS (SELECT v AS u, (CAST(v AS HUGEINT) + {c0}) % {P} AS z FROM verts)
+, h1 AS (SELECT u, xor(z, z >> 30) AS z FROM h0)
+, h2 AS (SELECT u, {mulmod(m1)} AS z FROM h1)
+, h3 AS (SELECT u, xor(z, z >> 27) AS z FROM h2)
+, h4 AS (SELECT u, {mulmod(m2)} AS z FROM h3)
+, hh AS (SELECT u, xor(z, z >> 31) AS h FROM h4)
+, rr AS (SELECT u, h, CAST(h % 256 AS INT) AS j, (h >> 8) | {sent} AS x FROM hh)
+, reg0 AS (SELECT u, j,
+           CAST(round(log2(CAST((x & (-x)) AS DOUBLE))) AS INT) + 1 AS rho
+           FROM rr)
+, ts AS (SELECT unnest(range(0, (SELECT CAST(max(d) AS BIGINT) FROM distf) + 1)) AS t)
+, ball AS (
+  SELECT d.s AS vertex, ts.t, r.j, max(r.rho) AS reg
+  FROM distf d JOIN reg0 r ON d.v = r.u JOIN ts ON d.d <= ts.t
+  GROUP BY d.s, ts.t, r.j
+), est1 AS (
+  SELECT vertex, t, count(*) AS present, sum(power(2.0, -reg)) AS harmp
+  FROM ball GROUP BY vertex, t
+), est2 AS (
+  SELECT vertex, t, 256 - present AS zeros,
+         0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+           / (harmp + (256 - present)) AS raw
+  FROM est1
+), est3 AS (
+  SELECT vertex, t,
+         CASE WHEN raw < 2.5 * 256.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS est
+  FROM est2
+), deltas AS (
+  SELECT vertex, t, est,
+         greatest(est - lag(est) OVER (PARTITION BY vertex ORDER BY t), 0.0) AS delta
+  FROM est3
+), accum AS (
+  SELECT vertex,
+         arg_max(est, t) AS reachable,
+         coalesce(sum(t * delta) FILTER (t > 0), 0.0) AS sum_d,
+         coalesce(sum(delta / t) FILTER (t > 0), 0.0) AS sum_inv_d
+  FROM deltas GROUP BY vertex
+)
+SELECT CAST(vertex AS BIGINT) AS vertex, reachable, sum_d AS sum_distances,
+       CASE WHEN sum_d = 0.0 THEN 0.0 ELSE 1.0 / sum_d END AS closeness,
+       sum_inv_d AS harmonic,
+       CASE WHEN sum_d = 0.0 THEN 1.0 ELSE reachable * reachable / sum_d END AS lin,
+       reachable * reachable - sum_d AS nieminen
+FROM accum
 """
 
 
@@ -386,8 +470,11 @@ def q_radius_diameter_directed_fast_events(spark: SparkSession, sf_dir: str) -> 
 
 
 def q_hyperball_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch geometric centralities (rows-only: approximate by
-    design; accuracy verified in tests/test_hyperball.py vs the exact
+    """HLL-sketch geometric centralities. Oracle-checked: HyperBall's
+    max-merge is lossless, so the deterministic splitmix64 sketches are
+    SQL-replayable over exact recursive-CTE distances (see
+    ``_hyperball_sql``); accuracy is additionally verified in
+    tests/test_hyperball.py vs the exact
     all-pairs BFS oracle)."""
     from webgraph_algo_rs_spark.operators import hyperball
 
@@ -982,4 +1069,5 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank
 FROM r WHERE rn <= 5
 """,
         "ann_lsh": _ann_lsh_sql(),
+        "hyperball_events": _EG + _hyperball_sql(),
     }
