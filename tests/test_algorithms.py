@@ -70,6 +70,32 @@ def test_pagerank_matches_oracle(spark, name):
     assert abs(gv.sum() - 1.0) < 1e-9  # probability mass conserved
 
 
+def test_pagerank_blocked_matches_per_step(spark):
+    """The k=4 blocked loop must reproduce the per-step loop exactly:
+    same stop iteration (the first whose L1 residual met tol, even when
+    it falls mid-block) and same ranks."""
+    arcs = NINE
+    w = _w(arcs)
+    df = edge_df(spark, arcs, w)
+    s_blocked, s_step = {}, {}
+    blocked = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(df, tol=1e-7, max_iter=300, stats=s_blocked).collect()
+    }
+    step = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(
+            df, tol=1e-7, max_iter=300, stats=s_step, block_size=1
+        ).collect()
+    }
+    assert s_blocked["iterations"] == s_step["iterations"]
+    # stop must be allowed to land mid-block or the selection rule is untested
+    assert s_blocked["iterations"] % 4 != 0
+    bv = np.array([blocked[k] for k in sorted(blocked)])
+    sv = np.array([step[k] for k in sorted(step)])
+    np.testing.assert_allclose(bv, sv, rtol=1e-12, atol=1e-15)
+
+
 @pytest.mark.parametrize("name", list(GRAPHS))
 def test_cc_matches_oracle(spark, name):
     arcs = GRAPHS[name]

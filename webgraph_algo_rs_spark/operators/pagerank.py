@@ -14,6 +14,19 @@ we track the L1 residual ``Σ|r_{t+1} − r_t|`` and stop at ``tol``.
 Per-iteration cost: exactly two Spark jobs — one to materialize the new
 state (lineage cut, SURVEY §7 hard part №1), one aggregate that yields
 residual *and* next dangling mass in a single pass.
+
+Superstep blocking (``block_size``): the non-checkpointed small/medium
+path chains ``k`` supersteps into ONE lazy plan — per-step dangling
+mass enters as a cross-joined 1-row aggregate (Catalyst's exchange
+reuse dedupes the shared prefix), the frame carries ``r0..rk`` rank
+columns, and a single action computes every step's L1 residual and
+dangling mass at once. The stop rule then *selects* the first rank
+column whose residual met ``tol`` — bit-identical values and stop
+iteration to the per-step loop, with k× fewer driver barriers. Global
+sync points are a real cost on a 1000-executor cluster too (stragglers
+amplify every barrier), but the big-graph bucketized path keeps
+``k=1``: there shuffle time dominates and per-iteration persist-chain
+eviction control matters more.
 """
 
 from __future__ import annotations
@@ -43,6 +56,7 @@ def pagerank(
     stats: dict | None = None,
     bucketize_edges: bool = False,
     lineage_cut_every: int = 6,
+    block_size: int | None = None,
 ) -> DataFrame:
     """Returns ``(vertex:bigint, rank:double)``; ranks sum to 1.
 
@@ -50,6 +64,10 @@ def pagerank(
     call with the same manager continues where a killed run committed).
     ``stats``: optional dict populated with iterations/residual/edge
     count for benchmarking.
+    ``block_size``: supersteps chained per Spark action (see module
+    docstring; default 4, clamped to 1 when ``checkpoint`` is given —
+    per-iteration durability is the point of checkpointing — or when
+    ``bucketize_edges`` keeps the persist-chain big-graph path).
     """
     spark = edges.sparkSession
     edges = edges.select(SRC, DST, W)
@@ -73,11 +91,20 @@ def pagerank(
             norm_plan, SRC, n_buckets=n_buckets, table_name="wga_pr_edges"
         )
     else:
-        norm_edges = materialize(norm_plan)
-    base_state = materialize(
-        vertices.join(out_w, vertices.vertex == out_w[SRC], "left")
-        .select("vertex", F.col("out_w").isNull().alias("dangling"))
+        # small-graph partition sizing: the reducer side is coalesced by
+        # AQE, but checkpointed state/edge frames pin their map-side
+        # partition count — 32 tasks per stage on a 40k-edge graph is
+        # pure scheduling latency (measured ~2× on the sf0.1 bench).
+        # Size the base partitioning to the graph, up to the session's
+        # configured shuffle parallelism.
+        p = min(n_buckets, n // 20_000 + 1)
+        norm_edges = materialize(norm_plan.coalesce(p))
+    base_plan = vertices.join(out_w, vertices.vertex == out_w[SRC], "left").select(
+        "vertex", F.col("out_w").isNull().alias("dangling")
     )
+    if not bucketize_edges:
+        base_plan = base_plan.coalesce(min(n_buckets, n // 20_000 + 1))
+    base_state = materialize(base_plan)
 
     history: list[dict] = []
     start_iter = 0
@@ -103,6 +130,17 @@ def pagerank(
         # apply join). Lineage is cut every ``lineage_cut_every`` iters.
         state = state.repartition(n_buckets, "vertex").persist()
         prev_handle = state
+
+    k = 1 if (checkpoint is not None or bucketize_edges) else (block_size or 4)
+    if k > 1:
+        state, n_iters, residual, wall = _blocked_loop(
+            state, norm_edges, n, damping, tol, max_iter, k, history
+        )
+        if stats is not None:
+            stats.update(
+                iterations=n_iters, residual=residual, n_vertices=n, wall_sec=wall
+            )
+        return state.select("vertex", "rank")
 
     dangling_mass = state.filter("dangling").agg(F.sum("rank")).first()[0] or 0.0
     residual = float("inf")
@@ -185,3 +223,109 @@ def pagerank(
         # leaks a full normalized-edge copy in the warehouse dir
         drop_bucketed()
     return result
+
+
+def _blocked_loop(
+    state: DataFrame,
+    norm_edges: DataFrame,
+    n: int,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    k: int,
+    history: list[dict],
+) -> tuple[DataFrame, int, float, float]:
+    """Run supersteps in blocks of ``k`` per Spark action (module
+    docstring). Returns ``(state, iterations, residual, wall_sec)``
+    where ``state`` is ``(vertex, dangling, rank)`` at the first
+    iteration whose L1 residual met ``tol`` — the exact per-step stop
+    rule, evaluated from the block's carried ``r0..rk`` columns."""
+    t_start = time.time()
+    residual = float("inf")
+    done = 0
+    stop = False
+    cur = state.select("vertex", "dangling", F.col("rank").alias("r0"))
+    while not stop and done < max_iter:
+        steps = min(k, max_iter - done)
+        t0 = time.time()
+        for j in range(1, steps + 1):
+            rp = f"r{j - 1}"
+            # the step's dangling mass: a 1-row aggregate cross-joined
+            # into the plan — exchange reuse shares its prefix with the
+            # message aggregation below, so nothing is computed twice
+            dm = cur.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("dangling"), F.col(rp))), F.lit(0.0)
+                ).alias("__dm")
+            )
+            msgs = (
+                cur.select(F.col("vertex").alias("__v"), F.col(rp).alias("__r"))
+                .join(norm_edges, F.col("__v") == F.col(SRC))
+                .groupBy(DST)
+                .agg(F.sum(F.col("__r") * F.col("nw")).alias("__c"))
+            )
+            a, b = f"__s{j}", f"__m{j}"
+            cur = (
+                cur.alias(a)
+                .join(
+                    msgs.alias(b),
+                    F.col(f"{a}.vertex") == F.col(f"{b}.{DST}"),
+                    "left",
+                )
+                .crossJoin(dm)
+                .select(
+                    *[F.col(f"{a}.{c}") for c in cur.columns],
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col(f"{b}.__c"), F.lit(0.0))
+                            + F.col("__dm") / F.lit(float(n))
+                        )
+                    ).alias(f"r{j}"),
+                )
+            )
+            if j < steps:
+                # lazy lineage cut: the logical plan becomes an RDD scan
+                # NOW (each step references its predecessor three times —
+                # message gather, dangling-mass aggregate, apply join —
+                # so an un-cut chain grows 3^k logical nodes and
+                # recomputes the un-exchanged plan segments), while the
+                # RDD itself is only computed inside the block's single
+                # action and cached on first touch
+                cur = cur.localCheckpoint(eager=False)
+        cur = materialize(cur)
+        aggs = []
+        for j in range(1, steps + 1):
+            aggs.append(
+                F.sum(F.abs(F.col(f"r{j}") - F.col(f"r{j - 1}"))).alias(f"res{j}")
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(F.col("dangling"), F.col(f"r{j}"))), F.lit(0.0)
+                ).alias(f"dm{j}")
+            )
+        row = cur.agg(*aggs).first()
+        block_ms = max(int((time.time() - t0) * 1000), 0)
+        taken = steps
+        for j in range(1, steps + 1):
+            done += 1
+            residual = float(row[f"res{j}"])
+            history.append(
+                {
+                    "algo": "pagerank",
+                    "iteration": done - 1,
+                    "residual": residual,
+                    "dangling_mass": float(row[f"dm{j}"]),
+                    "wall_ms": block_ms // steps,
+                }
+            )
+            if residual < tol:
+                taken = j
+                stop = True
+                break
+        cur = cur.select(
+            "vertex", "dangling", F.col(f"r{taken}").alias("r0")
+        )
+    final = cur.select("vertex", "dangling", F.col("r0").alias("rank"))
+    return final, done, residual, time.time() - t_start
