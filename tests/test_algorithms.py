@@ -296,3 +296,17 @@ def test_bfs_predecessors_and_filter(spark):
 
     # a source excluded by the filter is not visited at all
     assert bfs_distances(edges, [5], vertex_filter=allowed).count() == 0
+
+
+def test_pagerank_blocked_deep_iteration_stats_safe(spark):
+    """Catalyst copies estimated sizeInBytes into localCheckpoint'd
+    LogicalRDDs (see plans/superstep.materialize docstring): loops whose
+    superstep self-joins state can compound the estimate until stats
+    arithmetic overflows (~iteration 25 in HyperBall before its
+    StatsResetter fix). The blocked loop chains 4 self-referential steps
+    per materialize — pin that 160 supersteps (40 blocks) survive."""
+    df = edge_df(spark, CYCLE4, [1.0] * len(CYCLE4))
+    s: dict = {}
+    out = pagerank(df, tol=0.0, max_iter=160, stats=s).collect()
+    assert s["iterations"] == 160
+    assert abs(sum(r["rank"] for r in out) - 1.0) < 1e-9

@@ -118,3 +118,53 @@ def test_late_arriving_conversations_extend_dictionary(spark):
         assert got_keys == want_keys
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_restart_preserves_vertex_ids(spark):
+    """ADVICE r2: on restart from a stream checkpoint, committed batches
+    do not replay, so keys first numbered in them exist only in the
+    persisted dictionary. The restarted query must seed from
+    ``dict_path`` — the phase-2 ``full_transcripts`` here deliberately
+    omits phase-1 conversations, so any id that survives can only have
+    come from the read-back, not a re-derivation."""
+    tmp = tempfile.mkdtemp(prefix="wga_stream_restart_")
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        dict_dir = f"{tmp}/dict"
+        early = gen_transcripts(spark, 20, seed=42)
+        late = gen_transcripts(spark, 40, seed=42).filter(
+            F.col("conv_id") >= "conv-000000020"
+        )
+
+        early.write.mode("append").parquet(in_dir)
+        q1 = incremental_edges(
+            stream_transcripts(spark, in_dir), early, out_dir, ckpt,
+            dict_path=dict_dir,
+        )
+        q1.awaitTermination(120)
+        phase1 = {
+            r.key: r.vertex_id for r in spark.read.parquet(dict_dir).collect()
+        }
+        assert phase1  # sanity: phase 1 assigned ids
+
+        late.write.mode("append").parquet(in_dir)
+        # restart: same checkpoint, but the "current table snapshot" no
+        # longer contains the early conversations (e.g. they were
+        # compacted/retained elsewhere) — the dictionary must carry them
+        q2 = incremental_edges(
+            stream_transcripts(spark, in_dir), late, out_dir, ckpt,
+            dict_path=dict_dir,
+        )
+        q2.awaitTermination(120)
+        phase2 = {
+            r.key: r.vertex_id for r in spark.read.parquet(dict_dir).collect()
+        }
+        # every phase-1 id is stable across the restart
+        assert {k: phase2.get(k) for k in phase1} == phase1
+        # new keys extend past the old max, never recycling ids
+        new_ids = [v for k, v in phase2.items() if k not in phase1]
+        assert new_ids and min(new_ids) > max(phase1.values())
+        # ids remain dense and unique after the restart
+        assert sorted(phase2.values()) == list(range(len(phase2)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
