@@ -619,6 +619,62 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(-flat) ANN (`functions/similarity.py:cosine_topk_ivf`): the
+    coarse centroids are the 16 corpus vectors with smallest md5(id) —
+    a data-derived rule both engines compute identically, so the oracle
+    needs no embedded model state at all."""
+    from webgraph_algo_rs_spark.functions import cosine_topk_ivf
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, k=5, n_lists=16, n_probe=4).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_ANN_IVF_SQL = """
+WITH vall AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), vecs AS (
+  SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+  FROM vall WHERE list_sum([x * x for x in v]) > 0
+), cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS list_id,
+         v AS cv, nrm AS cnrm
+  FROM vecs
+  QUALIFY list_id <= 16
+), sims AS (
+  SELECT vecs.vec_id, cent.list_id,
+         list_dot_product(v, cv) / (nrm * cnrm) AS sim
+  FROM vecs CROSS JOIN cent
+), ranked AS (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn
+  FROM sims
+), assign AS (
+  SELECT vec_id, list_id FROM ranked WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, list_id FROM ranked WHERE rn <= 4
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON p.list_id = a.list_id
+  WHERE a.vec_id <> p.query_id
+), s AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS sim
+  FROM cand c
+  JOIN vecs q ON c.query_id = q.vec_id
+  JOIN vecs n ON c.neighbor_id = n.vec_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-vertex graph summary (degrees ⋈ components ⋈
     pagerank ⋈ triangles) of the sf0.001 events interaction graph."""
@@ -680,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1069,5 +1126,6 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank
 FROM r WHERE rn <= 5
 """,
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ANN_IVF_SQL,
         "hyperball_events": _EG + _hyperball_sql(),
     }

@@ -221,6 +221,34 @@ def test_cosine_topk_lsh_recall(vectors):
     assert (0, 1) in approx
 
 
+def test_cosine_topk_ivf_recall(vectors):
+    """IVF probes the n_probe nearest coarse lists; with n_lists=4 and
+    n_probe=2 every query sees half the corpus, so the planted
+    near-identical pair and most true top-3 neighbors must survive."""
+    from webgraph_algo_rs_spark.functions.similarity import (
+        cosine_topk_ivf,
+        ivf_centroids,
+    )
+
+    df, base = vectors
+    cents = ivf_centroids(df, n_lists=4).collect()
+    assert [c["list_id"] for c in sorted(cents, key=lambda c: c["list_id"])] == [1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(df, k=3).collect()
+    }
+    rows = cosine_topk_ivf(df, k=3, n_lists=4, n_probe=2).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # ranks are dense from 1 within each query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    assert (0, 1) in approx
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (0, "image", bytearray(b"\x89PNG" + b"x" * 2048), 64, 64, None),

@@ -13,6 +13,7 @@ from webgraph_algo_rs_spark.functions.text import (  # noqa: F401
 )
 from webgraph_algo_rs_spark.functions.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
 )

@@ -261,3 +261,115 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer centroids for IVF: the ``n_lists``
+    corpus vectors with the smallest ``md5(id)`` — a seeded-sample
+    stand-in for k-means that both engines (Spark and the DuckDB oracle)
+    can compute from the data with the *same rule*, no fitted model
+    state. Returns ``(list_id, cvec, cnorm)``, ``list_id`` dense from 1
+    in md5 order. Zero-norm vectors are never centroids.
+
+    The global top-``n_lists`` is ``orderBy().limit()`` — Catalyst's
+    ``TakeOrderedAndProject`` (per-partition top-N + driver merge), not
+    a single-partition sort; only the selected ``n_lists`` rows ever see
+    one partition (for the dense ``list_id`` numbering)."""
+    sel = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("cvec")
+        )
+        .withColumn("cnorm", _norm(F.col("cvec")))
+        .filter(F.col("cnorm") > 0)
+        .withColumn("h", F.md5(F.col("vid").cast("string")))
+        .orderBy("h", "vid")
+        .limit(n_lists)
+    )
+    w = Window.orderBy("h", "vid")
+    return (
+        sel.withColumn("list_id", F.row_number().over(w))
+        .select("list_id", "cvec", "cnorm")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via an IVF(-flat) index: assign every vector to its
+    nearest coarse centroid's inverted list, probe each query's
+    ``n_probe`` nearest lists, re-rank the candidates exactly. Returns
+    ``(query_id, neighbor_id, rank)``; recall < 1 by design (tested
+    against the brute-force baseline).
+
+    Scale shape: the centroid table is tiny (``n_lists`` × dim doubles)
+    and broadcast, so assignment is a broadcast nested-loop whose
+    ``n × n_lists`` similarity rows collapse to one row per vector via
+    ``max_by`` — a partial (map-side) aggregate, no wide shuffle. The
+    candidate join is an equi-join on ``list_id``, and each query
+    compares against ~``n_probe/n_lists`` of the corpus instead of all
+    of it. Ties break deterministically: centroid argmax by smallest
+    ``list_id``, final ranking by ``(cosine desc, neighbor_id)``.
+    """
+    cent = F.broadcast(ivf_centroids(embeddings, n_lists, id_col, vec_col))
+    vecs = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("n", _norm(F.col("v")))
+        .filter(F.col("n") > 0)
+    )
+    sims = vecs.crossJoin(cent).select(
+        "vid",
+        "list_id",
+        (_dot(F.col("v"), F.col("cvec")) / (F.col("n") * F.col("cnorm"))).alias("sim"),
+    )
+    # nearest list per vector: max_by over a (sim, -list_id) struct keeps
+    # the aggregation partial — ties take the smallest list_id
+    assign = sims.groupBy("vid").agg(
+        F.max_by(
+            "list_id", F.struct(F.col("sim"), (-F.col("list_id")).alias("t"))
+        ).alias("list_id")
+    )
+    pw = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("list_id"))
+    probes = (
+        sims.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select(F.col("vid").alias("query_id"), "list_id")
+    )
+    cand = (
+        probes.join(assign.select(F.col("vid").alias("neighbor_id"), "list_id"), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            vecs.select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), F.col("n").alias("cn")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
