@@ -30,6 +30,7 @@ def main() -> None:
     from webgraph_algo_rs_spark.extraction import extract_edges
     from webgraph_algo_rs_spark.functions import (
         cosine_topk_bruteforce,
+        cosine_topk_ivf,
         lsh_candidate_pairs,
     )
     from webgraph_algo_rs_spark.operators import (
@@ -82,6 +83,9 @@ def main() -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     timed("q7_ann_topk", lambda: cosine_topk_bruteforce(
         emb, queries=emb.filter("vec_id < 100"), k=10
+    ).count())
+    timed("q8_ann_ivf", lambda: cosine_topk_ivf(
+        emb, k=10, n_lists=32, n_probe=4
     ).count())
 
     # Fold in the latest big-graph scaling evidence (tools/bench_scaling.py):

@@ -308,6 +308,11 @@ def _directed_ess_state(
             stats.update(rounds=0, output_level=output_level)
         return state, rad
 
+    import os as _os
+    import time as _time
+
+    progress = _os.environ.get("WGA_PROGRESS") == "1"
+    t_loop = _time.time()
     n_vertices = state.count()
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -319,6 +324,17 @@ def _directed_ess_state(
                 | (F.col("low_b") < F.col("high_b"))
             )
         n_open = open_v.count()
+        if progress:
+            phase = (
+                "endgame"
+                if n_open * n_vertices <= endgame_budget
+                else ("sweep" if rounds % 2 == 1 else "allcc")
+            )
+            print(
+                f"ess round {rounds} open {n_open} next {phase} "
+                f"elapsed {_time.time() - t_loop:.1f}s",
+                flush=True,
+            )
         if n_open == 0:
             break
         # Endgame: once the open set is small enough that flooding every
