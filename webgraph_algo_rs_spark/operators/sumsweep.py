@@ -401,6 +401,17 @@ def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
             .unionByName(
                 open_v.orderBy(F.desc("high_b"), F.asc("vertex")).limit(k).select("vertex")
             )
+            .unionByName(
+                # diameter-raising rule (cnr-2000 plateau,
+                # bench_logs/ess_cnr2000_profile_r3.log): vertices whose
+                # *lower* forward bound is already largest are the
+                # proven-long-ecc candidates — closing them exactly lifts
+                # D_L toward the true diameter, which is what deflates
+                # the RadiusDiameter missing set {high_f > D_L}. The
+                # reference's utility chooser favors exactly these
+                # (computer.rs sweep-choice rules).
+                open_v.orderBy(F.desc("low_f"), F.asc("vertex")).limit(k).select("vertex")
+            )
             .distinct()
             .select(F.col("vertex").alias("source"))
         )
