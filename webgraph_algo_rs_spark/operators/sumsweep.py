@@ -330,8 +330,25 @@ def _directed_ess_state(
                 if n_open * n_vertices <= endgame_budget
                 else ("sweep" if rounds % 2 == 1 else "allcc")
             )
+            # which scalar keeps the set open: D_L / diam-side count vs
+            # R_U / radius-side count (cnr-2000 plateau diagnosis)
+            dl = state.agg(F.max("low_f")).first()[0] or 0
+            diam_open_n = state.filter(F.col("high_f") > F.lit(dl)).count()
+            detail = f"D_L {dl} diam_open {diam_open_n}"
+            if output_level == "radius_diameter":
+                ru = (
+                    state.join(rad, "vertex", "left_semi")
+                    .agg(F.min("high_f"))
+                    .first()[0]
+                )
+                rad_open_n = (
+                    state.join(rad, "vertex", "left_semi")
+                    .filter(F.col("low_f") < F.lit(ru or 0))
+                    .count()
+                )
+                detail += f" R_U {ru} rad_open {rad_open_n}"
             print(
-                f"ess round {rounds} open {n_open} next {phase} "
+                f"ess round {rounds} open {n_open} next {phase} {detail} "
                 f"elapsed {_time.time() - t_loop:.1f}s",
                 flush=True,
             )
