@@ -486,6 +486,23 @@ def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
             ).alias("lb"),
         )
     )
+    # same-SCC triangle UPPER bounds (the reference's strongly-connected
+    # sweep updates, computer.rs:566-713): within SCC(p), reach(w) goes
+    # through p — ecc_f(w) ≤ d(w,p) + ecc_f(p) and
+    # ecc_b(w) ≤ ecc_b(p) + d(p,w). This is what certifies a giant SCC
+    # from a handful of pivots instead of |SCC| exact closures (the
+    # cnr-2000 112k plateau, bench_logs/ess_cnr2000_profile_r3.log, is
+    # the giant SCC held open by missing upper-bound updates).
+    high_f_upd = (
+        bwd_c.join(ecc_f, "source")
+        .groupBy("vertex")
+        .agg(F.min(F.col("distance") + F.col("pecc_f")).alias("hf2"))
+    )
+    high_b_upd = (
+        fwd_c.join(ecc_b, "source")
+        .groupBy("vertex")
+        .agg(F.min(F.col("distance") + F.col("pecc_b")).alias("hb2"))
+    )
     # pivots close exactly: their flood's max distance IS their
     # eccentricity, so both bounds collapse onto it
     exact = (
@@ -495,6 +512,8 @@ def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
     return materialize(
         state.join(low_f_upd, "vertex", "left")
         .join(low_b_upd, "vertex", "left")
+        .join(high_f_upd, "vertex", "left")
+        .join(high_b_upd, "vertex", "left")
         .join(exact, "vertex", "left")
         .select(
             "vertex",
@@ -502,11 +521,19 @@ def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
             F.greatest(
                 "low_f", F.coalesce("lf", F.lit(0)), F.coalesce("pecc_f", F.lit(0))
             ).alias("low_f"),
-            F.least("high_f", F.coalesce("pecc_f", F.lit(_INF))).alias("high_f"),
+            F.least(
+                "high_f",
+                F.coalesce("pecc_f", F.lit(_INF)),
+                F.coalesce("hf2", F.lit(_INF)),
+            ).alias("high_f"),
             F.greatest(
                 "low_b", F.coalesce("lb", F.lit(0)), F.coalesce("pecc_b", F.lit(0))
             ).alias("low_b"),
-            F.least("high_b", F.coalesce("pecc_b", F.lit(_INF))).alias("high_b"),
+            F.least(
+                "high_b",
+                F.coalesce("pecc_b", F.lit(_INF)),
+                F.coalesce("hb2", F.lit(_INF)),
+            ).alias("high_b"),
         )
     )
 
