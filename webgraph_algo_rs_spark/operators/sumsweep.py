@@ -368,7 +368,8 @@ def _directed_ess_state(
             )
         elif rounds % 2 == 1:
             state = _directed_sweep(
-                arcs, transpose, state, open_v, comps, pivots_per_rule
+                arcs, transpose, state, open_v, comps, pivots_per_rule,
+                radial=rad,
             )
         else:
             state = _all_cc_upper_bound(
@@ -398,7 +399,9 @@ def _missing_radius_diameter(state: DataFrame, rad: DataFrame) -> DataFrame:
     return diam_open.unionByName(rad_open).dropDuplicates(["vertex"])
 
 
-def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
+def _directed_sweep(
+    arcs, transpose, state, open_v, comps, k, all_open=False, radial=None
+):
     """Batched forward+backward lower-bound sweeps; exact ecc for pivots.
 
     Top-k pivot picks are three ``orderBy().limit(k)`` queries —
@@ -410,8 +413,24 @@ def _directed_sweep(arcs, transpose, state, open_v, comps, k, all_open=False):
     if all_open:
         pivots = materialize(open_v.select(F.col("vertex").alias("source")))
     else:
+        # radius-candidate rule (reference utility chooser): the radial
+        # open vertex with the smallest certified upper bound is the
+        # best bet for attaining the radius — its exact closure drives
+        # R_U down to ecc(v), and every radial vertex whose low_f
+        # already exceeds the new R_U closes wholesale.
+        radius_cands = (
+            open_v.join(radial, "vertex", "left_semi")
+            .orderBy(F.asc("high_f"), F.asc("vertex"))
+            .limit(k)
+            .select("vertex")
+            if radial is not None
+            else open_v.limit(0).select("vertex")
+        )
         pivots = materialize(
-            open_v.orderBy(F.desc("high_f"), F.asc("vertex")).limit(k).select("vertex")
+            radius_cands
+            .unionByName(
+                open_v.orderBy(F.desc("high_f"), F.asc("vertex")).limit(k).select("vertex")
+            )
             .unionByName(
                 open_v.orderBy(F.asc("low_f"), F.asc("vertex")).limit(k).select("vertex")
             )
