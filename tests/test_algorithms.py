@@ -310,3 +310,45 @@ def test_pagerank_blocked_deep_iteration_stats_safe(spark):
     out = pagerank(df, tol=0.0, max_iter=160, stats=s).collect()
     assert s["iterations"] == 160
     assert abs(sum(r["rank"] for r in out) - 1.0) < 1e-9
+
+
+def test_cc_blocked_matches_per_step(spark):
+    """The k=4 blocked hash-min loop must reproduce the per-step loop
+    exactly: same fixpoint iteration (even mid-block) and same labels —
+    the delta frontier is carried through the chained columns."""
+    arcs = er_graph(60, 0.04, seed=5) + [(70, 71), (71, 72)]
+    df = edge_df(spark, arcs)
+    s_blocked, s_step = {}, {}
+    blocked = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, stats=s_blocked).collect()
+    }
+    step = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, stats=s_step, block_size=1).collect()
+    }
+    assert blocked == step
+    assert s_blocked["iterations"] == s_step["iterations"]
+
+
+def test_lpa_blocked_matches_per_step(spark):
+    """Blocked LPA ≡ per-step LPA: labels and iteration count, both at
+    fixpoint and at the oscillation cap (max_iter must cut the block
+    short at exactly the same superstep)."""
+    arcs = NINE
+    w = _w(arcs)
+    df = edge_df(spark, arcs, w)
+    for cap in (20, 3):  # fixpoint; then a cap that lands mid-block
+        s_blocked, s_step = {}, {}
+        blocked = {
+            r["vertex"]: r["label"]
+            for r in label_propagation(df, max_iter=cap, stats=s_blocked).collect()
+        }
+        step = {
+            r["vertex"]: r["label"]
+            for r in label_propagation(
+                df, max_iter=cap, stats=s_step, block_size=1
+            ).collect()
+        }
+        assert blocked == step, f"cap={cap}"
+        assert s_blocked["iterations"] == s_step["iterations"], f"cap={cap}"

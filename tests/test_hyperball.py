@@ -178,3 +178,32 @@ def test_jenkins_hash_and_weighted_init(spark):
     # ball(0) after convergence = {0-elements} ∪ {1-elements} ≈ 1001
     assert abs(got[0] / 1001 - 1) < 0.15
     assert abs(got[1] / 1 - 1) < 0.35
+
+
+def test_hyperball_local_mode_lockstep(spark):
+    """Local mode (collapsed-frontier broadcast, the reference's
+    pre-local/local switch hyperball_impl.rs:795-835) must be a pure
+    physical-plan change: forcing it from superstep 1
+    (local_frontier_frac=1.0) yields bit-identical centralities to the
+    shuffled path (frac=0), and the stats record the local supersteps."""
+    from tests.conftest import edge_df, er_graph
+    from webgraph_algo_rs_spark.operators import hyperball
+
+    arcs = er_graph(40, 0.08, seed=3)
+    df = edge_df(spark, arcs)
+    s_local, s_off = {}, {}
+    local = {
+        r["vertex"]: (r["reachable"], r["sum_distances"], r["harmonic"])
+        for r in hyperball(
+            df, log2m=6, stats=s_local, local_frontier_frac=1.0
+        ).collect()
+    }
+    off = {
+        r["vertex"]: (r["reachable"], r["sum_distances"], r["harmonic"])
+        for r in hyperball(
+            df, log2m=6, stats=s_off, local_frontier_frac=0.0
+        ).collect()
+    }
+    assert local == off
+    assert s_local["local_supersteps"] == s_local["iterations"]
+    assert s_off["local_supersteps"] == 0

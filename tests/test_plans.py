@@ -26,7 +26,7 @@ def test_scan_prunes_columns(spark):
     scan must read exactly those (Catalyst column pruning)."""
     from webgraph_algo_rs_spark.sources.tables import events_user_edges
 
-    plan = plan_of(events_user_edges(spark, SF))
+    plan = plan_of(events_user_edges(spark, SF, pin=False))
     scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
     assert scan_lines, plan
     scan = scan_lines[0]
@@ -94,7 +94,7 @@ def test_events_edges_no_single_partition_sort(spark):
     scale-killer)."""
     from webgraph_algo_rs_spark.sources.tables import events_user_edges
 
-    plan = plan_of(events_user_edges(spark, SF))
+    plan = plan_of(events_user_edges(spark, SF, pin=False))
     assert "SinglePartition" not in plan, plan
     # the parallel form partitions the window on the range-bucket id
     assert "_bkt" in plan, plan

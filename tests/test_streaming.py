@@ -3,6 +3,7 @@ the streamed edge deltas, re-aggregated, must equal batch extraction."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -166,5 +167,32 @@ def test_restart_preserves_vertex_ids(spark):
         assert new_ids and min(new_ids) > max(phase1.values())
         # ids remain dense and unique after the restart
         assert sorted(phase2.values()) == list(range(len(phase2)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_corrupt_dictionary_raises_not_silently_rederives(spark):
+    """ADVICE r3: an EXISTING-but-unreadable dictionary must raise, not
+    silently fall back to re-deriving ids (which re-assigns committed
+    batches' keys fresh ids — the exact corruption the persisted
+    dictionary prevents). Absence still means a clean first run."""
+    import pytest
+
+    tmp = tempfile.mkdtemp(prefix="wga_stream_corrupt_")
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        dict_dir = f"{tmp}/dict"
+        tr = gen_transcripts(spark, 10, seed=7)
+        tr.write.mode("append").parquet(in_dir)
+        # dict path exists but holds garbage (a crashed overwrite)
+        os.makedirs(dict_dir)
+        with open(f"{dict_dir}/part-00000.parquet", "w") as f:
+            f.write("not parquet")
+        with pytest.raises(Exception):
+            q = incremental_edges(
+                stream_transcripts(spark, in_dir), tr, out_dir, ckpt,
+                dict_path=dict_dir,
+            )
+            q.awaitTermination(60)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

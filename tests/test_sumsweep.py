@@ -222,7 +222,12 @@ def test_radius_diameter_output_level_early_stop(spark):
     row = radius_diameter_directed(df, endgame_budget=0, stats=s_rd).first()
     assert (row.radius, row.diameter) == (4, 6)
     assert s_rd["output_level"] == "radius_diameter"
-    assert s_rd["rounds"] < s_all["rounds"]
+    # RadiusDiameter's missing set is a subset of All's, so it can never
+    # need MORE rounds; on a 19-vertex fixture both may hit the floor
+    # (the utility-driven chooser converges All in minimal rounds too),
+    # so assert <= here — the strict separation is a scale property,
+    # evidenced by the cnr-2000 slow test (test_bvgraph.py).
+    assert s_rd["rounds"] <= s_all["rounds"]
     # the early-stop witnesses provably attain the certified values
     ecc = {
         r.vertex: r.ecc_f

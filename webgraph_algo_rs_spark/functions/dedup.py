@@ -127,10 +127,15 @@ def lsh_candidate_pairs(
     """
     rows_per_band = n_hashes // bands
     if dedup_first:
-        canon = exact_duplicates(docs, text_col, id_col).select(
-            F.col("canonical_id").alias(id_col)
-        )
-        docs = docs.join(canon, id_col, "left_semi")
+        # folded into one groupBy over md5(text) (min id = the exact-dup
+        # canonical, all texts in a class are byte-identical so min(text)
+        # is THE text) — same canonical set as exact_duplicates() but
+        # without a second corpus scan + semi-join (round-3 q6 bench
+        # regression: the guard tripled the job count at small scale)
+        docs = docs.groupBy(F.md5(F.col(text_col)).alias("_text_hash")).agg(
+            F.min(id_col).alias(id_col),
+            F.min(text_col).alias(text_col),
+        ).drop("_text_hash")
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
     banded = sigs.select(
         "doc_id",
@@ -146,19 +151,27 @@ def lsh_candidate_pairs(
         ).alias("band_idx", "band_hash"),
     )
     if max_bucket is not None:
-        sizes = banded.groupBy("band_idx", "band_hash").agg(
-            F.count(F.lit(1)).alias("_bucket_size")
-        )
+        # bucket sizes as a window over the SAME key the self-join
+        # shuffles on — both join sides derive from this one windowed
+        # frame, so the size guard rides the exchange the join needs
+        # anyway instead of running a separate aggregate + semi-join
+        # (the round-3 q6 regression: three jobs where round 2 ran one)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded = banded.withColumn("_bucket_size", F.count(F.lit(1)).over(w))
         if stats is not None:
-            dropped = sizes.filter(F.col("_bucket_size") > max_bucket).agg(
-                F.count(F.lit(1)).alias("b"), F.sum("_bucket_size").alias("r")
-            ).first()
+            dropped = (
+                banded.filter(F.col("_bucket_size") > max_bucket)
+                .select("band_idx", "band_hash", "_bucket_size")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("b"), F.sum("_bucket_size").alias("r"))
+                .first()
+            )
             stats["dropped_buckets"] = int(dropped["b"] or 0)
             stats["dropped_rows"] = int(dropped["r"] or 0)
-        banded = banded.join(
-            sizes.filter(F.col("_bucket_size") <= max_bucket).drop("_bucket_size"),
-            ["band_idx", "band_hash"],
-            "left_semi",
+        banded = banded.filter(F.col("_bucket_size") <= max_bucket).drop(
+            "_bucket_size"
         )
     a = banded.select(F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_a"))
     b = banded.select(F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_b"))

@@ -1,11 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libs in this container):
-``decode=None`` uses a deterministic fake that derives features from the
-bytes themselves, so the Spark-side contract — schema, batch shape,
-partitioning, UDF signature — is real and tested. Swapping in Pillow /
-torchaudio is a one-function change on the executor side.
+Decode status (round-4 decision, VERDICT r3 §next №8):
+
+* **REAL decoders** for the codec-free container formats —
+  :func:`decode_builtin` fully decodes **BMP** (24/32-bit uncompressed),
+  **PNG** (8-bit gray/RGB/RGBA/gray+alpha, all five scanline filters,
+  stdlib ``zlib``) and **WAV** (PCM via stdlib ``wave``) to pixel /
+  sample arrays, then extracts grid-mean image features / windowed-RMS
+  audio features — pure numpy + stdlib, no external codec.
+* **Declared stubs** for formats that genuinely need external codecs
+  (JPEG entropy decode, GIF LZW): ``decode_builtin`` raises
+  ``NotImplementedError`` for them, and ``_fake_decode`` (the default
+  for :func:`extract_media_features`) remains the deterministic
+  stand-in so the Spark-side contract — schema, batch shape,
+  partitioning, UDF signature — is exercised for every format.
 """
 
 from __future__ import annotations
@@ -68,11 +77,196 @@ def extract_media_features(
 
 
 def resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """Placeholder for the image-resize kernel; container lacks codecs."""
+    """Placeholder for the *re-encode* path (resize → compressed bytes);
+    decoded-array resize is real — see :func:`grid_mean_resize`."""
     raise NotImplementedError(
-        "image decode/resize requires Pillow/libvips — not available in this "
-        "container; plug a real kernel into extract_media_features(decode=...)"
+        "re-encoding resized images requires an encoder (Pillow/libvips) — "
+        "decode + array-space resize is available via decode_builtin/"
+        "grid_mean_resize; plug an encoder to write bytes back"
     )
+
+
+# ------------------------------------------------------------- real decode
+# Stdlib-only decoders for the container formats that don't need an
+# external codec: BMP (raw pixel array), PNG (zlib inflate + scanline
+# unfilter), WAV (PCM via the stdlib wave module).
+
+
+def _decode_bmp(p: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP → float32 grayscale array (h, w)."""
+    if p[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(p[10:14], "little")
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h = int.from_bytes(p[22:26], "little", signed=True)
+    bpp = int.from_bytes(p[28:30], "little")
+    compression = int.from_bytes(p[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    nch = bpp // 8
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * nch + 3) & ~3  # rows padded to 4 bytes
+    px = np.frombuffer(p, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    px = px.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]  # BMP stores bottom-up
+    return px[:, :, :3].mean(axis=2).astype(np.float32)  # BGR → gray
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0–4, spec §9)."""
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + up) & 0xFF
+        else:  # Sub/Average/Paeth need the in-row left neighbor: sequential
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                left = rec[i - nch] if i >= nch else 0
+                if ftype == 1:  # Sub
+                    rec[i] = (cur[i] + left) & 0xFF
+                elif ftype == 3:  # Average
+                    rec[i] = (cur[i] + ((left + up[i]) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    ul = up[i - nch] if i >= nch else 0
+                    pa, pb, pc = (
+                        abs(up[i] - ul),
+                        abs(left - ul),
+                        abs(left + up[i] - 2 * ul),
+                    )
+                    pred = left if pa <= pb and pa <= pc else (up[i] if pb <= pc else ul)
+                    rec[i] = (cur[i] + pred) & 0xFF
+                else:
+                    raise ValueError(f"PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, nch)
+
+
+def _decode_png(p: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) →
+    float32 grayscale array (h, w). Pure stdlib zlib + numpy."""
+    import zlib
+
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i, w = 8, None
+    idat = b""
+    while i + 8 <= len(p):
+        clen = int.from_bytes(p[i : i + 4], "big")
+        ctype = p[i + 4 : i + 8]
+        body = p[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color, interlace = body[8], body[9], body[12]
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} interlace={interlace}"
+                )
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if nch is None:
+                raise NotImplementedError(f"PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    img = _png_unfilter(raw, h, w, nch).astype(np.float32)
+    if nch == 1:
+        return img[:, :, 0]
+    if nch == 2:  # gray + alpha
+        return img[:, :, 0]
+    return img[:, :, :3].mean(axis=2)  # RGB(A) → gray
+
+
+def _decode_wav(p: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (mono float32 samples in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(p)) as wf:
+        nch, sw, rate, nframes = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        frames = wf.readframes(nframes)
+    if sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def grid_mean_resize(img: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Array-space resize: mean-pool ``img`` (h, w) onto a ``gh×gw``
+    grid (each output cell = mean of its source block; uneven splits
+    handled by boundary indexing). The real resize kernel for decoded
+    images — no codec needed once pixels exist."""
+    h, w = img.shape
+    ys = np.linspace(0, h, gh + 1).astype(int)
+    xs = np.linspace(0, w, gw + 1).astype(int)
+    out = np.empty((gh, gw), dtype=np.float32)
+    for a in range(gh):
+        for b in range(gw):
+            block = img[ys[a] : max(ys[a + 1], ys[a] + 1),
+                        xs[b] : max(xs[b + 1], xs[b] + 1)]
+            out[a, b] = float(block.mean())
+    return out
+
+
+def decode_builtin(payload: bytes, kind: str, feat_dim: int) -> tuple[np.ndarray, int]:
+    """REAL decode + feature extraction for BMP / PNG / WAV payloads.
+
+    Images: full pixel decode → grayscale → ``grid_mean_resize`` onto a
+    √feat_dim grid, flattened and scaled to [0, 1]; ``frames = 1``.
+    Audio: PCM decode → ``feat_dim`` windowed RMS profile;
+    ``frames`` = number of windows (the frame-sampling analog).
+    JPEG / GIF / unknown raise ``NotImplementedError`` — the declared
+    codec boundary (see module docstring).
+    """
+    if not payload:
+        raise ValueError("empty media payload")
+    fmt, _, _, _ = probe_media(payload)
+    if fmt == "bmp":
+        img = _decode_bmp(payload)
+    elif fmt == "png":
+        img = _decode_png(payload)
+    elif fmt == "wav":
+        x, _rate = _decode_wav(payload)
+        n_win = max(min(feat_dim, len(x)), 1)
+        bounds = np.linspace(0, len(x), n_win + 1).astype(int)
+        feat = np.zeros(feat_dim, dtype=np.float32)
+        for i in range(n_win):
+            seg = x[bounds[i] : max(bounds[i + 1], bounds[i] + 1)]
+            feat[i] = float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
+        return feat, n_win
+    else:
+        raise NotImplementedError(
+            f"no built-in decoder for {fmt or 'unknown'} — JPEG/GIF need an "
+            "external codec; pass your own decode= kernel"
+        )
+    g = max(int(np.sqrt(feat_dim)), 1)
+    grid = grid_mean_resize(img, g, g) / 255.0
+    feat = np.zeros(feat_dim, dtype=np.float32)
+    feat[: g * g] = grid.ravel()
+    return feat, 1
 
 
 # ---------------------------------------------------------------- probing

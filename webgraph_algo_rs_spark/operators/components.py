@@ -44,11 +44,20 @@ def connected_components(
     checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
     bucketize_edges: bool = False,
+    block_size: int = 4,
 ) -> DataFrame:
     """Returns ``(vertex:bigint, component:bigint)`` on the symmetrized graph.
 
     ``bucketize_edges``: big-graph path — persist the symmetrized arcs
     bucketed on ``src`` once so each superstep shuffles only labels.
+    ``block_size``: min-supersteps chained per Spark action (the
+    PageRank blocked-loop pattern, `pagerank.py:233-336` — per-round
+    driver latency dominates the small-graph path at ~50 supersteps ×
+    ~50 ms); clamped to 1 when ``checkpoint`` (per-iteration durability
+    is the point) or ``bucketize_edges`` (persist-chain path) is given.
+    The stop rule — first superstep with zero label changes — is
+    evaluated per chained step from the block's carried columns, so the
+    result is bit-identical to the per-step loop.
     """
     spark = edges.sparkSession
     sym_plan = symmetrize(edges).select(SRC, DST)
@@ -74,6 +83,14 @@ def connected_components(
                 "vertex", F.col("vertex").alias("label"), F.lit(True).alias("changed")
             )
         )
+
+    if checkpoint is None and not bucketize_edges and block_size > 1:
+        state, iters, changed = _blocked_cc_loop(
+            state, sym, max_iter, block_size, history, start_iter
+        )
+        if stats is not None:
+            stats.update(iterations=iters - start_iter, changed=changed)
+        return state.select("vertex", F.col("label").alias("component"))
 
     changed = 1
     it = start_iter
@@ -114,6 +131,98 @@ def connected_components(
         # no longer scans the scratch table — safe to drop it here
         drop_bucketed()
     return state.select("vertex", F.col("label").alias("component"))
+
+
+def _blocked_cc_loop(
+    state: DataFrame,
+    sym: DataFrame,
+    max_iter: int,
+    k: int,
+    history: list[dict],
+    start_iter: int,
+) -> tuple[DataFrame, int, int]:
+    """Chain ``k`` hash-min supersteps per Spark action with carried
+    ``l0..lk`` / ``c0..ck`` columns (the delta frontier rides along as
+    the ``c`` flags: step *j* scatters only vertices with ``c(j-1)``).
+    Returns ``(state(vertex,label,changed), iterations, last_changed)``.
+    """
+    done = start_iter
+    stop = False
+    changed_last = -1
+    cur = state.select(
+        "vertex", F.col("label").alias("l0"), F.col("changed").alias("c0")
+    )
+    while not stop and done < max_iter:
+        steps = min(k, max_iter - done)
+        t0 = time.time()
+        for j in range(1, steps + 1):
+            lp, cp = f"l{j - 1}", f"c{j - 1}"
+            msgs = (
+                cur.filter(F.col(cp))
+                .select(F.col("vertex").alias("__v"), F.col(lp).alias("__l"))
+                .join(sym, F.col("__v") == F.col(SRC))
+                .groupBy(DST)
+                .agg(F.min("__l").alias("__nl"))
+            )
+            a, b = f"__s{j}", f"__m{j}"
+            cur = (
+                cur.alias(a)
+                .join(
+                    msgs.alias(b),
+                    F.col(f"{a}.vertex") == F.col(f"{b}.{DST}"),
+                    "left",
+                )
+                .select(
+                    *[F.col(f"{a}.{c}") for c in cur.columns],
+                    F.least(
+                        F.col(f"{a}.{lp}"),
+                        F.coalesce(F.col(f"{b}.__nl"), F.col(f"{a}.{lp}")),
+                    ).alias(f"l{j}"),
+                    (
+                        F.coalesce(F.col(f"{b}.__nl"), F.col(f"{a}.{lp}"))
+                        < F.col(f"{a}.{lp}")
+                    ).alias(f"c{j}"),
+                )
+            )
+            if j < steps:
+                # lazy lineage cut (see pagerank._blocked_loop): each
+                # step references its predecessor twice (frontier scatter
+                # + apply join), so an un-cut chain grows 2^k plan nodes
+                cur = cur.localCheckpoint(eager=False)
+        cur = materialize(cur)
+        row = cur.agg(
+            *[
+                F.sum(F.col(f"c{j}").cast("long")).alias(f"n{j}")
+                for j in range(1, steps + 1)
+            ]
+        ).first()
+        block_ms = max(int((time.time() - t0) * 1000), 0)
+        taken = steps
+        for j in range(1, steps + 1):
+            done += 1
+            changed_last = int(row[f"n{j}"] or 0)
+            history.append(
+                {
+                    "algo": "cc",
+                    "iteration": done - 1,
+                    "changed": changed_last,
+                    "wall_ms": block_ms // steps,
+                }
+            )
+            if changed_last == 0:
+                taken = j
+                stop = True
+                break
+        cur = cur.select(
+            "vertex", F.col(f"l{taken}").alias("l0"), F.col(f"c{taken}").alias("c0")
+        )
+    return (
+        cur.select(
+            "vertex", F.col("l0").alias("label"), F.col("c0").alias("changed")
+        ),
+        done,
+        changed_last,
+    )
 
 
 def renumber_by_size(components: DataFrame) -> DataFrame:

@@ -112,6 +112,7 @@ def hyperball(
     hasher: str = "splitmix64",
     n_upper: int | None = None,
     node_weights: DataFrame | None = None,
+    local_frontier_frac: float = 1 / 32,
 ) -> DataFrame:
     """Run HyperBall on the out-direction of ``edges``.
 
@@ -135,6 +136,14 @@ def hyperball(
     one (the reference draws them randomly; we derive them
     deterministically from ``(vertex, k)`` for reproducibility — same
     statistics). Missing vertices default to weight 1.
+    ``local_frontier_frac``: local-mode switch (the reference's
+    pre-local/local systolic modes, `hyperball_impl.rs:795-799,
+    819-835`): once the previous superstep changed fewer than
+    ``frac·n`` vertices, the frontier and the merged messages are
+    broadcast into their joins, so neither the 3.2M-arc table nor the
+    full sketch state shuffles in the (long) saturated tail —
+    supersteps 20–81 of the cnr-2000 golden run touch <1k of 325k
+    vertices. Set to 0 to disable.
     """
     params = HllParams(log2m=log2m, seed=seed, hasher=hasher, n_upper=n_upper)
     merge = _group_merge_factory(params)
@@ -206,12 +215,26 @@ def hyperball(
     nf = [float(state.agg(F.sum("est")).first()[0] or 0.0)]
     resetter = StatsResetter(edges.sparkSession, label="hyperball")
 
+    n_vertices = state.count()
+    changed = n_vertices  # superstep 1 scatters everyone
+    local_steps = 0
     it = 0
     t_start = time.time()
     for it in range(1, max_iter + 1):
+        # local mode (reference pre-local/local, hyperball_impl.rs:795-835):
+        # a collapsed frontier is cheaper to ship to every executor than
+        # the arcs/state tables are to shuffle
+        local = (
+            local_frontier_frac > 0
+            and changed <= n_vertices * local_frontier_frac
+        )
+        if local:
+            local_steps += 1
         frontier = state.filter("changed").select(
             F.col("vertex").alias("f_vertex"), F.col("sketch").alias("f_sketch")
         )
+        if local:
+            frontier = F.broadcast(frontier)
         # successor → predecessor messages (transpose-free gather)
         msgs = arcs.join(
             frontier, arcs[DST] == F.col("f_vertex")
@@ -221,6 +244,18 @@ def hyperball(
         else:
             merged = merge(msgs, ["mk"])
         merged = merged.withColumnRenamed("sketch", "in_sketch")
+        if local:
+            # materialize once (both state joins below consume it — in
+            # local mode that also skips recomputing the Arrow merge),
+            # then broadcast if genuinely small: it makes BOTH state
+            # joins (touched inner, untouched anti) broadcast-hash, so
+            # the full sketch state never shuffles in the saturated
+            # tail. The frontier's in-neighborhood can exceed the
+            # frontier (a hub's predecessors), hence the explicit count
+            # gate rather than trusting `changed` alone.
+            merged = materialize(merged)
+            if merged.count() <= 200_000:
+                merged = F.broadcast(merged)
         t = float(it)
         # join-then-union: only vertices with an incoming message pay the
         # Arrow round trip (merge2 + estimate); untouched rows pass
@@ -293,6 +328,7 @@ def hyperball(
             iterations=it,
             neighbourhood_function=nf,
             wall_sec=time.time() - t_start,
+            local_supersteps=local_steps,
         )
 
     count2 = F.col("est") * F.col("est")

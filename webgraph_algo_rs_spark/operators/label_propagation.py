@@ -38,11 +38,17 @@ def label_propagation(
     checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
     bucketize_edges: bool = False,
+    block_size: int = 4,
 ) -> DataFrame:
     """Returns ``(vertex:bigint, label:bigint)``.
 
     ``bucketize_edges``: big-graph path — persist the symmetrized arcs
     bucketed on ``src`` once so each superstep shuffles only labels.
+    ``block_size``: majority-vote supersteps chained per Spark action
+    (the PageRank blocked-loop pattern, `pagerank.py:233-336`); clamped
+    to 1 with ``checkpoint`` or ``bucketize_edges``. The stop rule —
+    first superstep with zero label changes — is evaluated per chained
+    step, bit-identical to the per-step loop.
     """
     spark = edges.sparkSession
     drop_bucketed = None
@@ -67,6 +73,14 @@ def label_propagation(
         state = materialize(
             graph_vertices(sym).select("vertex", F.col("vertex").alias("label"))
         )
+
+    if checkpoint is None and not bucketize_edges and block_size > 1:
+        state, iters, changed = _blocked_lpa_loop(
+            state, sym, max_iter, block_size, history, start_iter
+        )
+        if stats is not None:
+            stats.update(iterations=iters - start_iter, changed=changed)
+        return state
 
     changed = -1
     it = start_iter
@@ -111,3 +125,89 @@ def label_propagation(
         # scratch table; drop it to avoid leaking an edge copy per run
         drop_bucketed()
     return state
+
+
+def _blocked_lpa_loop(
+    state: DataFrame,
+    sym: DataFrame,
+    max_iter: int,
+    k: int,
+    history: list[dict],
+    start_iter: int,
+) -> tuple[DataFrame, int, int]:
+    """Chain ``k`` majority-vote supersteps per Spark action with
+    carried ``l0..lk`` / ``c0..ck`` columns (no delta frontier: the vote
+    needs every neighbor's current label, changed or not). Returns
+    ``(state(vertex,label), iterations, last_changed)``."""
+    done = start_iter
+    stop = False
+    changed_last = -1
+    cur = state.select("vertex", F.col("label").alias("l0"))
+    while not stop and done < max_iter:
+        steps = min(k, max_iter - done)
+        t0 = time.time()
+        for j in range(1, steps + 1):
+            lp = f"l{j - 1}"
+            tally = (
+                cur.select(F.col("vertex").alias("__v"), F.col(lp).alias("__l"))
+                .join(sym, F.col("__v") == F.col(SRC))
+                .groupBy(DST, "__l")
+                .agg(F.sum(W).alias("__wsum"))
+            )
+            best = tally.groupBy(DST).agg(
+                F.max_by(
+                    "__l", F.struct(F.col("__wsum"), (-F.col("__l")).alias("neg"))
+                ).alias("__nl")
+            )
+            a, b = f"__s{j}", f"__m{j}"
+            cur = (
+                cur.alias(a)
+                .join(
+                    best.alias(b),
+                    F.col(f"{a}.vertex") == F.col(f"{b}.{DST}"),
+                    "left",
+                )
+                .select(
+                    *[F.col(f"{a}.{c}") for c in cur.columns],
+                    F.coalesce(F.col(f"{b}.__nl"), F.col(f"{a}.{lp}")).alias(
+                        f"l{j}"
+                    ),
+                    (
+                        F.coalesce(F.col(f"{b}.__nl"), F.col(f"{a}.{lp}"))
+                        != F.col(f"{a}.{lp}")
+                    ).alias(f"c{j}"),
+                )
+            )
+            if j < steps:
+                # lazy lineage cut (see pagerank._blocked_loop)
+                cur = cur.localCheckpoint(eager=False)
+        cur = materialize(cur)
+        row = cur.agg(
+            *[
+                F.sum(F.col(f"c{j}").cast("long")).alias(f"n{j}")
+                for j in range(1, steps + 1)
+            ]
+        ).first()
+        block_ms = max(int((time.time() - t0) * 1000), 0)
+        taken = steps
+        for j in range(1, steps + 1):
+            done += 1
+            changed_last = int(row[f"n{j}"] or 0)
+            history.append(
+                {
+                    "algo": "lpa",
+                    "iteration": done - 1,
+                    "changed": changed_last,
+                    "wall_ms": block_ms // steps,
+                }
+            )
+            if changed_last == 0:
+                taken = j
+                stop = True
+                break
+        cur = cur.select("vertex", F.col(f"l{taken}").alias("l0"))
+    return (
+        cur.select("vertex", F.col("l0").alias("label")),
+        done,
+        changed_last,
+    )

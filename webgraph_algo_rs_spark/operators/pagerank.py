@@ -95,9 +95,14 @@ def pagerank(
         # AQE, but checkpointed state/edge frames pin their map-side
         # partition count — 32 tasks per stage on a 40k-edge graph is
         # pure scheduling latency (measured ~2× on the sf0.1 bench).
-        # Size the base partitioning to the graph, up to the session's
+        # Size the EDGE frame by edge count, not vertex count (ADVICE
+        # r3: a dense 10k-vertex / 10M-edge graph must not collapse its
+        # per-superstep scan to one task), up to the session's
         # configured shuffle parallelism.
-        p = min(n_buckets, n // 20_000 + 1)
+        # the normalize join is row-preserving, so |edges| == |norm_plan|
+        # and the cheaper pre-join scan sizes it
+        n_edges = edges.count()
+        p = min(n_buckets, max(n, n_edges) // 20_000 + 1)
         norm_edges = materialize(norm_plan.coalesce(p))
     base_plan = vertices.join(out_w, vertices.vertex == out_w[SRC], "left").select(
         "vertex", F.col("out_w").isNull().alias("dangling")

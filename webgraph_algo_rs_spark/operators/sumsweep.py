@@ -315,45 +315,53 @@ def _directed_ess_state(
     t_loop = _time.time()
     n_vertices = state.count()
     rounds = 0
+    # utility-driven step choice (the reference's points array,
+    # `computer.rs:330-417`): each step type is credited with the number
+    # of missing vertices its last run closed; the idle step drifts
+    # upward so it is retried eventually. inf = "never tried".
+    points = {"allcc": float("inf"), "sweep": float("inf")}
+    prev_step: str | None = None
+    prev_open = 0
+    # AllCC pivot rotation (the reference re-runs find_best_pivot every
+    # AllCCUpperBound and its score shifts as bounds close,
+    # `computer.rs:424-479`): each used pivot is use-count-penalized so
+    # the next round picks a FRESH pivot per SCC — every new pivot adds
+    # an independent min() constraint on high_f/high_b, which is what
+    # breaks the 112k-open plateau of a static pivot
+    # (bench_logs/ess_cnr2000_profile_r3.log).
+    pivot_hist: DataFrame | None = None
     for rounds in range(1, max_rounds + 1):
         if output_level == "radius_diameter":
-            open_v = _missing_radius_diameter(state, rad)
+            open_v, info = _missing_radius_diameter(state, rad)
         else:
             open_v = state.filter(
                 (F.col("low_f") < F.col("high_f"))
                 | (F.col("low_b") < F.col("high_b"))
             )
+            info = {}
         n_open = open_v.count()
-        if progress:
-            phase = (
-                "endgame"
-                if n_open * n_vertices <= endgame_budget
-                else ("sweep" if rounds % 2 == 1 else "allcc")
-            )
-            # which scalar keeps the set open: D_L / diam-side count vs
-            # R_U / radius-side count (cnr-2000 plateau diagnosis)
-            dl = state.agg(F.max("low_f")).first()[0] or 0
-            diam_open_n = state.filter(F.col("high_f") > F.lit(dl)).count()
-            detail = f"D_L {dl} diam_open {diam_open_n}"
-            if output_level == "radius_diameter":
-                ru = (
-                    state.join(rad, "vertex", "left_semi")
-                    .agg(F.min("high_f"))
-                    .first()[0]
-                )
-                rad_open_n = (
-                    state.join(rad, "vertex", "left_semi")
-                    .filter(F.col("low_f") < F.lit(ru or 0))
-                    .count()
-                )
-                detail += f" R_U {ru} rad_open {rad_open_n}"
-            print(
-                f"ess round {rounds} open {n_open} next {phase} {detail} "
-                f"elapsed {_time.time() - t_loop:.1f}s",
-                flush=True,
-            )
+        if prev_step is not None:
+            points[prev_step] = prev_open - n_open
+            other = "sweep" if prev_step == "allcc" else "allcc"
+            if points[other] != float("inf"):
+                points[other] += 2.0 / rounds
+        prev_open = n_open
         if n_open == 0:
             break
+        endgame = n_open * n_vertices <= endgame_budget
+        if endgame:
+            step = "endgame"
+        elif rounds == 1:
+            step = "sweep"  # the reference's sum_sweep_heuristic opener
+        else:
+            step = "allcc" if points["allcc"] >= points["sweep"] else "sweep"
+        if progress:
+            detail = " ".join(f"{k} {v}" for k, v in info.items())
+            print(
+                f"ess round {rounds} open {n_open} next {step} {detail} "
+                f"points {points} elapsed {_time.time() - t_loop:.1f}s",
+                flush=True,
+            )
         # Endgame: once the open set is small enough that flooding every
         # open vertex keeps the tagged-BFS state bounded (open·n rows),
         # sweep them all — each sweep pivot closes exactly, so this
@@ -361,42 +369,83 @@ def _directed_ess_state(
         # native BFS and can afford one per step (computer.rs:340-414);
         # our per-superstep driver latency makes batching the tail the
         # right physical strategy for the same semantics.
-        if n_open * n_vertices <= endgame_budget:
+        if endgame:
             state = _directed_sweep(
                 arcs, transpose, state, open_v, comps, pivots_per_rule,
                 all_open=True,
             )
-        elif rounds % 2 == 1:
+            prev_step = None  # endgame rounds don't score the chooser
+        elif step == "sweep":
+            # adaptive batch: after the opening rounds, spend the same
+            # state budget the endgame is allowed on sweep pivots —
+            # per-round driver latency is the tail's dominant cost, so
+            # larger batches close the open set in far fewer rounds
+            k_eff = pivots_per_rule if rounds <= 2 else max(
+                pivots_per_rule,
+                min(64, endgame_budget // max(n_vertices, 1) // 6),
+            )
             state = _directed_sweep(
-                arcs, transpose, state, open_v, comps, pivots_per_rule,
+                arcs, transpose, state, open_v, comps, k_eff,
                 radial=rad,
             )
+            prev_step = "sweep"
         else:
-            state = _all_cc_upper_bound(
+            state, used = _all_cc_upper_bound(
                 spark, arcs, transpose, state, comps, cond, bfs_distances,
                 dag_collect_limit=dag_collect_limit,
+                pivot_hist=pivot_hist,
             )
+            new_uses = used.select(
+                F.col("pivot").alias("vertex"), F.lit(1).cast("long").alias("uses")
+            )
+            pivot_hist = materialize(
+                (
+                    pivot_hist.unionByName(new_uses)
+                    if pivot_hist is not None
+                    else new_uses
+                )
+                .groupBy("vertex")
+                .agg(F.sum("uses").alias("uses"))
+            )
+            prev_step = "allcc"
     if stats is not None:
         stats.update(rounds=rounds, output_level=output_level)
     return state, rad
 
 
-def _missing_radius_diameter(state: DataFrame, rad: DataFrame) -> DataFrame:
+def _missing_radius_diameter(
+    state: DataFrame, rad: DataFrame
+) -> tuple[DataFrame, dict]:
     """Vertices that can still change radius or diameter
     (``find_missing_nodes`` at level RadiusDiameter,
-    `computer.rs:943-1014`). Two scalar aggs per round — negligible next
-    to the round's BFS."""
-    row = state.agg(F.max("low_f").alias("dl")).first()
-    d_l = row["dl"] if row["dl"] is not None else 0
+    `computer.rs:943-1014`). The diameter can be certified from EITHER
+    side — ``diameter = max ecc_f = max ecc_b`` — so the reference takes
+    ``min(missing_df, missing_db)`` (`computer.rs:1008-1012`); we target
+    whichever side's open set is smaller. ``D_L = max(max low_f,
+    max low_b)`` subsumes the reference's incomplete-node filter: a
+    closed vertex has ``low == ecc``, so ``D_L >= ecc`` and its
+    ``high == ecc`` can never exceed ``D_L``. Three scalar aggs per
+    round — negligible next to the round's BFS."""
+    row = state.agg(
+        F.max("low_f").alias("dlf"), F.max("low_b").alias("dlb")
+    ).first()
+    d_l = max(row["dlf"] or 0, row["dlb"] or 0)
     ru_row = (
         state.join(rad, "vertex", "left_semi").agg(F.min("high_f").alias("ru")).first()
     )
     r_u = ru_row["ru"] if ru_row["ru"] is not None else 0
-    diam_open = state.filter(F.col("high_f") > F.lit(d_l))
+    cnt = state.agg(
+        F.sum((F.col("high_f") > F.lit(d_l)).cast("long")).alias("nf"),
+        F.sum((F.col("high_b") > F.lit(d_l)).cast("long")).alias("nb"),
+    ).first()
+    n_f, n_b = cnt["nf"] or 0, cnt["nb"] or 0
+    diam_side = "high_b" if n_b < n_f else "high_f"
+    diam_open = state.filter(F.col(diam_side) > F.lit(d_l))
     rad_open = state.join(rad, "vertex", "left_semi").filter(
         F.col("low_f") < F.lit(r_u)
     )
-    return diam_open.unionByName(rad_open).dropDuplicates(["vertex"])
+    info = {"d_l": d_l, "r_u": r_u, "diam_open_f": n_f, "diam_open_b": n_b}
+    return diam_open.unionByName(rad_open).dropDuplicates(["vertex"]), info
 
 
 def _directed_sweep(
@@ -447,6 +496,13 @@ def _directed_sweep(
                 # reference's utility chooser favors exactly these
                 # (computer.rs sweep-choice rules).
                 open_v.orderBy(F.desc("low_f"), F.asc("vertex")).limit(k).select("vertex")
+            )
+            .unionByName(
+                # backward twin of the diameter-raising rule: D_L is
+                # max(max low_f, max low_b) under dual-side
+                # certification (computer.rs:1008-1012), so closing the
+                # largest-low_b vertex lifts D_L from the transpose side
+                open_v.orderBy(F.desc("low_b"), F.asc("vertex")).limit(k).select("vertex")
             )
             .distinct()
             .select(F.col("vertex").alias("source"))
@@ -566,8 +622,11 @@ def _all_cc_upper_bound(
     cond,
     bfs_distances,
     dag_collect_limit: int = 5_000_000,
+    pivot_hist: DataFrame | None = None,
 ):
     """The reference's AllCCUpperBound step (`computer.rs:818-936`).
+    Returns ``(new_state, pivots)`` so the caller can rotate pivots
+    across rounds.
 
     The pivot-eccentricity DP over the SCC condensation runs on the
     driver while the DAG fits ``dag_collect_limit`` rows (the reference
@@ -579,16 +638,27 @@ def _all_cc_upper_bound(
     :func:`_dag_dp_spark` — no driver-side collection at any size."""
     # find_best_pivot (`computer.rs:424-479`): per SCC, minimize
     # low_f + low_b + n·closed_f + n·closed_b (prefer open vertices),
-    # tie-break min vertex id
+    # tie-break min vertex id. Previously-used pivots carry a 2n-per-use
+    # penalty (rotation — the reference's score shifts organically as
+    # bounds close; with batched rounds the explicit penalty guarantees
+    # each AllCC round contributes a FRESH min() constraint per SCC).
     n = state.count()
+    scored = state
+    if pivot_hist is not None:
+        scored = state.join(pivot_hist, "vertex", "left").withColumn(
+            "uses", F.coalesce("uses", F.lit(0))
+        )
+    else:
+        scored = state.withColumn("uses", F.lit(0).cast("long"))
     score = (
         F.col("low_f")
         + F.col("low_b")
         + F.when(F.col("low_f") >= F.col("high_f"), F.lit(n)).otherwise(0)
         + F.when(F.col("low_b") >= F.col("high_b"), F.lit(n)).otherwise(0)
+        + F.col("uses") * F.lit(2 * n)
     )
     pivots = materialize(
-        state.groupBy("component").agg(
+        scored.groupBy("component").agg(
             F.min_by("vertex", F.struct(score.alias("s"), F.col("vertex"))).alias(
                 "pivot"
             )
@@ -642,7 +712,7 @@ def _all_cc_upper_bound(
     # refine: high_f(v) ≤ d_B(v→pivot) + ub_f;  high_b(v) ≤ d_F(pivot→v) + ub_b
     db = pb.select("vertex", F.col("distance").alias("dbv"))
     df_ = pf.select("vertex", F.col("distance").alias("dfv"))
-    return materialize(
+    new_state = materialize(
         state.join(ub_df, "component", "left")
         .join(db, "vertex", "left")
         .join(df_, "vertex", "left")
@@ -659,6 +729,7 @@ def _all_cc_upper_bound(
             ).alias("high_b"),
         )
     )
+    return new_state, pivots
 
 
 def _dag_dp_driver(spark, nodes: DataFrame, dag_df: DataFrame) -> DataFrame:
@@ -863,17 +934,30 @@ def radius_diameter_directed(
             stats=stats,
             endgame_budget=endgame_budget,
         )
-        # D_L is certified as the diameter (no high_f exceeds it) and is
-        # attained by its argmax-low vertex, whose bounds close at it;
-        # symmetrically min high_f over radial is the radius and its
-        # argmin vertex attains it (low_f >= R_U for every radial vertex
-        # once the missing set is empty).
-        d = state.agg(
-            F.max("low_f").alias("diameter"),
+        # D_L = max(max low_f, max low_b) is certified as the diameter
+        # (one side's missing set emptied: no high on that side exceeds
+        # it, and diameter = max ecc_f = max ecc_b) and is attained by
+        # its argmax-low vertex — in the forward sense if low_f won, in
+        # the backward sense otherwise (the reference's diameter_vertex
+        # is likewise the attaining sweep's start on either side,
+        # computer.rs:641-644,703-706); symmetrically min high_f over
+        # radial is the radius and its argmin vertex attains it (low_f
+        # >= R_U for every radial vertex once the missing set is empty).
+        d0 = state.agg(
+            F.max("low_f").alias("dlf"),
             F.max_by(
                 "vertex", F.struct(F.col("low_f"), (-F.col("vertex")).alias("t"))
-            ).alias("diameter_vertex"),
+            ).alias("wf"),
+            F.max("low_b").alias("dlb"),
+            F.max_by(
+                "vertex", F.struct(F.col("low_b"), (-F.col("vertex")).alias("t"))
+            ).alias("wb"),
         ).first()
+        dlf, dlb = d0["dlf"] or 0, d0["dlb"] or 0
+        d = {
+            "diameter": max(dlf, dlb),
+            "diameter_vertex": d0["wf"] if dlf >= dlb else d0["wb"],
+        }
         r = (
             state.join(rad, "vertex", "left_semi")
             .agg(

@@ -21,7 +21,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_user_edges(
-    spark: SparkSession, sf_dir: str, n_ranges: int | None = None
+    spark: SparkSession, sf_dir: str, n_ranges: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Interaction graph from the events stream: consecutive events in
     global ``(ts, event_id)`` order produce an edge previous-actor →
@@ -43,27 +44,24 @@ def events_user_edges(
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     n_ranges = n_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Range boundaries as driver-side literals (one approxQuantile pass):
-    # the bucket expression is then *pure*, so every consumer below
-    # assigns identical buckets without materializing an intermediate.
-    # Equal-ts rows always share a bucket (strict > comparison), so
-    # bucket order + (ts, event_id) order within a bucket = total order.
-    probs = [i / n_ranges for i in range(1, n_ranges)]
-    bounds = sorted(
-        set(
-            ev.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("_tsn")).approxQuantile(
-                "_tsn", probs, 0.001
-            )
-        )
-        if probs
-        else []
+    # Bucket = range-partition id on the full ordering key (the
+    # dense_ids pattern, `extraction.py:33-64`): repartitionByRange is a
+    # parallel sampled range shuffle, and spark_partition_id gives each
+    # contiguous range its ordinal. The frame is pinned with
+    # localCheckpoint so the window below and the boundary-stitch
+    # collect see the SAME bucket assignment (partition ids are
+    # plan-scoped, not pure). A chained `WHEN` per quantile boundary —
+    # the previous design — builds an O(n_ranges)-deep expression tree,
+    # a Catalyst-analysis blow-up at 10⁴ shuffle partitions.
+    bucketed = ev.repartitionByRange(n_ranges, "ts", "event_id").withColumn(
+        "_bkt", F.spark_partition_id()
     )
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.when(
-            F.unix_micros(F.col("ts").cast("timestamp")) > F.lit(int(b)), 1
-        ).otherwise(0)
-    bucketed = ev.withColumn("_bkt", bucket)
+    if pin:
+        bucketed = bucketed.localCheckpoint(eager=True)
+    # ``pin=False`` keeps the frame lazy so plan tests can see the
+    # parquet FileScan (column pruning); production callers leave the
+    # default — an unpinned spark_partition_id could be re-derived
+    # differently between the window pass and the stitch collect.
     w = Window.partitionBy("_bkt").orderBy("ts", "event_id")
     lagged = bucketed.withColumn("prev_user", F.lag("user_id").over(w))
     # last actor per non-empty bucket → first row of the next non-empty

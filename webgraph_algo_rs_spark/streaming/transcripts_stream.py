@@ -21,6 +21,29 @@ from webgraph_algo_rs_spark.extraction import extract_edges
 from webgraph_algo_rs_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
+    works for local paths, HDFS, and object-store schemes alike."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _hadoop_replace(spark: SparkSession, src: str, dst: str) -> None:
+    """Move ``src`` over ``dst`` (delete + rename)."""
+    fs, jsrc = _hadoop_fs(spark, src)
+    _, jdst = _hadoop_fs(spark, dst)
+    if fs.exists(jdst):
+        fs.delete(jdst, True)
+    fs.rename(jsrc, jdst)
+
+
 def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of transcript rows (Parquet drops into ``path``)."""
     return (
@@ -57,16 +80,19 @@ def incremental_edges(
     """
     from webgraph_algo_rs_spark.extraction import build_vertices, dense_ids
 
+    spark = full_transcripts.sparkSession
     seeded = None
-    if dict_path is not None:
-        try:
-            seeded = (
-                full_transcripts.sparkSession.read.parquet(dict_path)
-                .select("kind", "key", "vertex_id")
-                .localCheckpoint(eager=True)
-            )
-        except Exception:  # noqa: BLE001 — first run: no dictionary yet
-            seeded = None
+    if dict_path is not None and _hadoop_exists(spark, dict_path):
+        # the dictionary exists → it MUST be readable. A bare fallback
+        # here would silently re-derive ids from full_transcripts while
+        # the stream checkpoint skips committed batches — exactly the
+        # id-stability corruption the persisted dictionary prevents
+        # (ADVICE r3) — so any read error other than absence propagates.
+        seeded = (
+            spark.read.parquet(dict_path)
+            .select("kind", "key", "vertex_id")
+            .localCheckpoint(eager=True)
+        )
     if seeded is None:
         seeded = build_vertices(full_transcripts).localCheckpoint(eager=True)
     start_max = seeded.agg(F.max("vertex_id")).first()[0]
@@ -104,7 +130,16 @@ def incremental_edges(
             .parquet(out_path)
         )
         if dict_path is not None:
-            state["vertices"].write.mode("overwrite").parquet(dict_path)
+            # crash-safe persist: a plain mode('overwrite') deletes the
+            # old dictionary before the new one is fully written, so a
+            # mid-write crash leaves dict_path unreadable (ADVICE r3).
+            # Write to a sibling temp dir, then delete+rename — the
+            # rename is atomic on HDFS/posix; on object stores it is
+            # still strictly safer than in-place overwrite because the
+            # unreadable window shrinks to the rename.
+            tmp = dict_path.rstrip("/") + "._tmp"
+            state["vertices"].write.mode("overwrite").parquet(tmp)
+            _hadoop_replace(full_transcripts.sparkSession, tmp, dict_path)
 
     return (
         transcripts_stream.writeStream.foreachBatch(process)
