@@ -454,6 +454,19 @@ def q_radius_diameter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_diameter(_events_edges(spark, sf_dir))
 
 
+def q_radius_diameter_fast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected RadiusDiameter at output level RadiusDiameter (the
+    reference's early-stop level, `output_level.rs:290-451`): stops as
+    soon as diameter = max(low) is not exceeded by any upper bound and
+    radius = min(high) is not undercut by any lower bound. Witnesses are
+    attained-but-tie-unspecified, so the oracle compares values only."""
+    from webgraph_algo_rs_spark.operators import radius_diameter
+
+    return radius_diameter(
+        _events_edges(spark, sf_dir), output_level="radius_diameter"
+    ).select("radius", "diameter")
+
+
 def q_ecc_directed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed ExactSumSweep, output level All (forward/backward
     eccentricities with reachable-set semantics)."""
@@ -758,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symmetry_events": q_symmetry_events,
         "eccentricities_events": q_eccentricities_events,
         "radius_diameter_events": q_radius_diameter_events,
+        "radius_diameter_fast_events": q_radius_diameter_fast_events,
         "ecc_directed_events": q_ecc_directed_events,
         "radius_diameter_directed_events": q_radius_diameter_directed_events,
         "radius_diameter_directed_fast_events": q_radius_diameter_directed_fast_events,
@@ -932,6 +946,20 @@ SELECT CAST(min(ecc) AS BIGINT) AS radius,
        CAST(max(ecc) AS BIGINT) AS diameter,
        (SELECT CAST(vertex AS BIGINT) FROM ecc ORDER BY ecc ASC, vertex ASC LIMIT 1) AS radius_vertex,
        (SELECT CAST(vertex AS BIGINT) FROM ecc ORDER BY ecc DESC, vertex ASC LIMIT 1) AS diameter_vertex
+FROM ecc
+""",
+        "radius_diameter_fast_events": _EG + """
+, r(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT r.s, e.d, r.d + 1 FROM r JOIN sym e ON r.v = e.s WHERE r.d < 100
+), dist AS (
+  SELECT s, v, min(d) AS d FROM r GROUP BY s, v
+), ecc AS (
+  SELECT s AS vertex, max(d) AS ecc FROM dist GROUP BY s
+)
+SELECT CAST(min(ecc) AS BIGINT) AS radius,
+       CAST(max(ecc) AS BIGINT) AS diameter
 FROM ecc
 """,
         "ecc_directed_events": _EG + """

@@ -146,3 +146,46 @@ def test_cnr2000_hyperball_golden_parity(spark):
         denom = np.where(want != 0, np.abs(want), 1.0)
         rel = np.abs(want - got) / denom
         assert rel.max() < 1e-6, (fname, rel.max(), int(rel.argmax()))
+
+
+@pytest.mark.skipif(
+    os.environ.get("WGA_SLOW_TESTS") != "1",
+    reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
+)
+def test_cnr2000_radius_diameter_undirected(spark):
+    """Undirected ExactSumSweep at reference scale (the reference's
+    undirected suite, `tests/test_undir_sum_sweep.rs`, run on the
+    symmetrized cnr-2000). Output level RadiusDiameter; certified values
+    are cross-checked against exact multi-source-BFS eccentricities of
+    24 sampled vertices: undirected radius = min ecc over ALL vertices,
+    so every sample upper-bounds the radius and lower-bounds the
+    diameter."""
+    from pyspark.sql import functions as F
+
+    from webgraph_algo_rs_spark.operators import radius_diameter
+    from webgraph_algo_rs_spark.operators.bfs import bfs_distances
+    from webgraph_algo_rs_spark.plans.superstep import symmetrize
+    from webgraph_algo_rs_spark.sources.bvgraph import read_bv_edges
+
+    edges = read_bv_edges(spark, CNR).localCheckpoint(eager=True)
+    stats: dict = {}
+    row = radius_diameter(
+        edges, stats=stats, output_level="radius_diameter"
+    ).first()
+    assert 0 < row.radius <= row.diameter
+    assert stats["output_level"] == "radius_diameter"
+
+    sym = symmetrize(edges)
+    samples = [int(v * 325557 / 24) for v in range(24)]
+    sample_df = spark.createDataFrame([(v,) for v in samples], "source long")
+    ecc_samples = {
+        r["source"]: r["e"]
+        for r in bfs_distances(sym, sample_df.select(F.col("source")))
+        .groupBy("source")
+        .agg(F.max("distance").alias("e"))
+        .collect()
+    }
+    # samples live in the giant component (they reach >1 vertex), so
+    # their exact ecc bounds the certified scalars from both sides
+    assert row.diameter >= max(ecc_samples.values())
+    assert row.radius <= min(ecc_samples.values())

@@ -288,3 +288,31 @@ def test_pivot_path_matches_endgame(spark):
     }
     und_end = {r.vertex: r.ecc for r in eccentricities(df).collect()}
     assert und == und_end
+
+
+@pytest.mark.parametrize(
+    "arcs_name", ["PATH5", "STAR6", "LOZENGE", "random", "disconnected"]
+)
+def test_undirected_radius_diameter_fast_level(spark, arcs_name):
+    """Undirected output level RadiusDiameter (the reference's early-stop
+    level, `output_level.rs:290-451`) certifies the same two scalars as
+    the All level, in no more bound-tightening rounds, and its witnesses
+    attain the certified values."""
+    arcs = {
+        "PATH5": PATH5,
+        "STAR6": STAR6,
+        "LOZENGE": LOZENGE,
+        "random": er_graph(30, 0.08, 9),
+        "disconnected": PATH5 + [(10, 11), (11, 12)],
+    }[arcs_name]
+    df = edge_df(spark, arcs)
+    s_all: dict = {}
+    s_fast: dict = {}
+    want = radius_diameter(df, stats=s_all).first()
+    got = radius_diameter(df, stats=s_fast, output_level="radius_diameter").first()
+    assert (got.radius, got.diameter) == (want.radius, want.diameter)
+    assert s_fast["output_level"] == "radius_diameter"
+    assert s_fast["rounds"] <= s_all["rounds"]
+    ecc = {r.vertex: r.ecc for r in eccentricities(df).collect()}
+    assert ecc[got.radius_vertex] == got.radius
+    assert ecc[got.diameter_vertex] == got.diameter

@@ -102,6 +102,38 @@ def eccentricities(
     larger BFS state for far fewer rounds (each superstep loop has fixed
     driver latency, the per-round killer on high-round graphs).
     """
+    state = _undirected_ess_state(
+        edges,
+        output_level="all",
+        max_rounds=max_rounds,
+        pivots_per_rule=pivots_per_rule,
+        stats=stats,
+        endgame_budget=endgame_budget,
+    )
+    return state.select("vertex", "component", F.col("low").alias("ecc"))
+
+
+def _undirected_ess_state(
+    edges: DataFrame,
+    output_level: str = "all",
+    max_rounds: int = 10_000,
+    pivots_per_rule: int = 4,
+    stats: dict | None = None,
+    endgame_budget: int = 50_000_000,
+    progress: bool = False,
+) -> DataFrame:
+    """Undirected SumSweep bound-tightening loop; returns the final
+    ``(vertex, component, low, high)`` state.
+
+    ``output_level="all"`` iterates until every vertex's bounds close
+    (reference output level ``All``). ``"radius_diameter"`` stops as
+    soon as both scalars are bound-certified (reference
+    ``RadiusDiameter``, `output_level.rs:290-451`): with
+    ``D_L = max(low)`` and ``R_U = min(high)``, the open set shrinks to
+    the *missing* vertices ``{high > D_L} ∪ {low < R_U}`` — once empty,
+    ``diameter = D_L`` (no upper bound exceeds it) and
+    ``radius = R_U`` (no lower bound undercuts it).
+    """
     from pyspark.sql import Window
 
     sym = materialize(symmetrize(edges).select(SRC, DST))
@@ -126,7 +158,24 @@ def eccentricities(
     n_vertices = state.count()
     for rounds in range(1, max_rounds + 1):
         open_v = state.filter(F.col("low") < F.col("high"))
+        if output_level == "radius_diameter":
+            # missing set under bound certification: a vertex keeps the
+            # radius/diameter open only if its upper bound could raise
+            # the diameter or its lower bound could lower the radius
+            scal = state.agg(
+                F.max("low").alias("dl"), F.min("high").alias("ru")
+            ).first()
+            dl, ru = scal["dl"] or 0, scal["ru"] or 0
+            open_v = open_v.filter(
+                (F.col("high") > F.lit(dl)) | (F.col("low") < F.lit(ru))
+            )
         n_open = open_v.count()
+        if progress:
+            print(
+                f"uess round {rounds} open {n_open} "
+                f"elapsed {time.time() - t0:.1f}s",
+                flush=True,
+            )
         if n_open == 0:
             break
         if n_open * n_vertices <= endgame_budget:
@@ -172,8 +221,13 @@ def eccentricities(
             )
         )
     if stats is not None:
-        stats.update(rounds=rounds, bfs_runs=n_bfs, wall_sec=time.time() - t0)
-    return state.select("vertex", "component", F.col("low").alias("ecc"))
+        stats.update(
+            rounds=rounds,
+            bfs_runs=n_bfs,
+            wall_sec=time.time() - t0,
+            output_level=output_level,
+        )
+    return state
 
 
 def directed_eccentricities(
@@ -792,27 +846,63 @@ def _dag_dp_spark(nodes: DataFrame, dag_df: DataFrame) -> DataFrame:
     driver. Returns ``(component, ub_f, ub_b)``."""
     from webgraph_algo_rs_spark.plans.superstep import UnionAccumulator
 
-    # --- layering: peel zero-out-degree nodes, removing their in-edges
-    layers: list[DataFrame] = []
-    cur_nodes = nodes.select("component")
-    cur_edges = dag_df.select("c_src", "c_dst")
-    while True:
-        sinks = materialize(
-            cur_nodes.join(
-                cur_edges.select(F.col("c_src").alias("component")).distinct(),
+    def kahn_layers(src: str, dst: str) -> list[DataFrame]:
+        """Longest-path-to-``dst``-sink layering via out-degree
+        countdown: a node finalizes at layer ``1 + max(child layers)``
+        once every ``src→dst`` edge's child is final. Identical layers
+        to an anti-join peel, but per round only the shrinking counts
+        frame and the (small) newly-final frontier materialize — the
+        full edge frame is never rewritten (it is scanned, filtered to
+        the frontier, once per round)."""
+        deg = dag_df.groupBy(src).agg(F.count("*").alias("cnt"))
+        counts = materialize(
+            nodes.select("component")
+            .join(
+                deg.select(F.col(src).alias("component"), "cnt"),
                 "component",
-                "left_anti",
+                "left",
+            )
+            .select(
+                "component",
+                F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                F.lit(0).cast("long").alias("maxl"),
             )
         )
-        if sinks.isEmpty():
-            break
-        layers.append(sinks)
-        cur_nodes = materialize(cur_nodes.join(sinks, "component", "left_anti"))
-        cur_edges = materialize(
-            cur_edges.join(
-                sinks.select(F.col("component").alias("c_dst")), "c_dst", "left_anti"
+        out: list[DataFrame] = []
+        while True:
+            newly = materialize(
+                counts.filter("cnt = 0").select(
+                    "component", F.col("maxl").alias("layer")
+                )
             )
-        )
+            if newly.isEmpty():
+                break
+            out.append(newly.select("component"))
+            dec = (
+                dag_df.join(
+                    newly.select(F.col("component").alias(dst), "layer"), dst
+                )
+                .groupBy(src)
+                .agg(
+                    F.count("*").alias("dec"),
+                    F.max(F.col("layer") + 1).alias("cand"),
+                )
+                .select(F.col(src).alias("component"), "dec", "cand")
+            )
+            counts = materialize(
+                counts.filter("cnt > 0")
+                .join(dec, "component", "left")
+                .select(
+                    "component",
+                    (F.col("cnt") - F.coalesce("dec", F.lit(0))).alias("cnt"),
+                    F.greatest(
+                        "maxl", F.coalesce("cand", F.lit(0))
+                    ).alias("maxl"),
+                )
+            )
+        return out
+
+    layers = kahn_layers("c_src", "c_dst")
 
     def direction(
         dp_layers: list[DataFrame], ecc0_col: str, high_col: str, src: str, dst: str
@@ -864,32 +954,10 @@ def _dag_dp_spark(nodes: DataFrame, dag_df: DataFrame) -> DataFrame:
 
     # forward DP: sink-first (layer order), edges c_src→c_dst
     fwd = direction(layers, "ecc0_f", "high_f", "c_src", "c_dst")
-    # backward DP: source-first — same peel on the transposed DAG would
-    # reorder layers; equivalently run the fold over reversed edge roles
-    # with in-degree layering, i.e. re-peel on the transpose
-    layers_rev: list[DataFrame] = []
-    cur_nodes = nodes.select("component")
-    cur_edges = dag_df.select("c_src", "c_dst")
-    while True:
-        sources = materialize(
-            cur_nodes.join(
-                cur_edges.select(F.col("c_dst").alias("component")).distinct(),
-                "component",
-                "left_anti",
-            )
-        )
-        if sources.isEmpty():
-            break
-        layers_rev.append(sources)
-        cur_nodes = materialize(cur_nodes.join(sources, "component", "left_anti"))
-        cur_edges = materialize(
-            cur_edges.join(
-                sources.select(F.col("component").alias("c_src")),
-                "c_src",
-                "left_anti",
-            )
-        )
-    bwd = direction(layers_rev, "ecc0_b", "high_b", "c_dst", "c_src")
+    # backward DP: source-first — the same countdown layering with the
+    # edge roles reversed (in-degree peel on the original = out-degree
+    # peel on the transpose)
+    bwd = direction(kahn_layers("c_dst", "c_src"), "ecc0_b", "high_b", "c_dst", "c_src")
     return materialize(
         fwd.withColumnRenamed("ub", "ub_f").join(
             bwd.withColumnRenamed("ub", "ub_b"), "component"
@@ -1020,11 +1088,53 @@ def radius_diameter_directed(
     )
 
 
-def radius_diameter(edges: DataFrame, stats: dict | None = None) -> DataFrame:
+def radius_diameter(
+    edges: DataFrame,
+    stats: dict | None = None,
+    output_level: str = "all",
+    **kwargs,
+) -> DataFrame:
     """One-row ``(radius, diameter, radius_vertex, diameter_vertex)``
-    (reference output level ``RadiusDiameter``,
-    `output_level.rs:247-287`; ties broken by min vertex id)."""
-    ecc = eccentricities(edges, stats=stats)
+    for the undirected graph.
+
+    ``output_level="all"`` (default) closes every vertex first and
+    breaks witness ties by min vertex id — deterministic, at All's full
+    cost. ``"radius_diameter"`` is the reference's actual RadiusDiameter
+    level (`output_level.rs:290-451`): it stops as soon as both scalars
+    are bound-certified (diameter = max low once no high exceeds it;
+    radius = min high once no low undercuts it); witnesses provably
+    attain the values but tie choice follows the bound evidence.
+    """
+    if output_level == "radius_diameter":
+        state = _undirected_ess_state(
+            edges, output_level="radius_diameter", stats=stats, **kwargs
+        )
+        row = state.agg(
+            F.min("high").alias("radius"),
+            F.min_by(
+                "vertex", F.struct(F.col("high"), F.col("vertex"))
+            ).alias("radius_vertex"),
+            F.max("low").alias("diameter"),
+            F.max_by(
+                "vertex", F.struct(F.col("low"), (-F.col("vertex")).alias("t"))
+            ).alias("diameter_vertex"),
+        ).first()
+        return edges.sparkSession.createDataFrame(
+            [
+                (
+                    int(row["radius"]) if row["radius"] is not None else 0,
+                    int(row["diameter"]) if row["diameter"] is not None else 0,
+                    int(row["radius_vertex"])
+                    if row["radius_vertex"] is not None
+                    else -1,
+                    int(row["diameter_vertex"])
+                    if row["diameter_vertex"] is not None
+                    else -1,
+                )
+            ],
+            "radius long, diameter long, radius_vertex long, diameter_vertex long",
+        )
+    ecc = eccentricities(edges, stats=stats, **kwargs)
     return ecc.agg(
         F.min("ecc").alias("radius"),
         F.max("ecc").alias("diameter"),
