@@ -3,18 +3,21 @@ columns with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
 Decode status (round-4 decision, VERDICT r3 §next №8):
 
-* **REAL decoders** for the codec-free container formats —
+* **REAL decoders** for every probed container format —
   :func:`decode_builtin` fully decodes **BMP** (24/32-bit uncompressed),
   **PNG** (8-bit gray/RGB/RGBA/gray+alpha, all five scanline filters,
-  stdlib ``zlib``) and **WAV** (PCM via stdlib ``wave``) to pixel /
-  sample arrays, then extracts grid-mean image features / windowed-RMS
-  audio features — pure numpy + stdlib, no external codec.
-* **Declared stubs** for formats that genuinely need external codecs
-  (JPEG entropy decode, GIF LZW): ``decode_builtin`` raises
-  ``NotImplementedError`` for them, and ``_fake_decode`` (the default
-  for :func:`extract_media_features`) remains the deterministic
-  stand-in so the Spark-side contract — schema, batch shape,
-  partitioning, UDF signature — is exercised for every format.
+  stdlib ``zlib``), **WAV** (PCM via stdlib ``wave``), **GIF** (full
+  LZW decode of the first frame, 87a/89a, interlaced or not, local or
+  global palette) and **baseline JPEG** (SOF0/SOF1: DQT/DHT parse,
+  Huffman entropy decode with byte-unstuffing and restart markers,
+  dequantize + IDCT, chroma-subsampled MCU walk; gray = the Y plane)
+  to pixel / sample arrays, then extracts grid-mean image features /
+  windowed-RMS audio features — pure numpy + stdlib, no external codec.
+* **Declared stubs** only where a full codec stack genuinely starts:
+  progressive JPEG (SOF2) raises ``NotImplementedError``, and
+  ``resize_stub`` marks the re-*encode* boundary. ``_fake_decode``
+  (the default for :func:`extract_media_features`) remains available
+  as the deterministic stand-in for schema/plumbing tests.
 """
 
 from __future__ import annotations
@@ -214,6 +217,352 @@ def _decode_wav(p: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavour LZW decode (LSB-first variable-width codes, CLEAR /
+    END control codes, 12-bit dictionary cap) → uint8 index array."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # dictionary as (prefix_code, suffix_byte); -1 prefix = root
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    suffix[:clear] = np.arange(clear, dtype=np.uint8)
+
+    bitpos = 0
+    total_bits = len(data) * 8
+    width = min_code_size + 1
+    next_code = end + 1
+    prev = -1
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return end
+        byte0 = bitpos >> 3
+        val = int.from_bytes(buf[byte0 : byte0 + 3].tobytes(), "little")
+        code = (val >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    stack = bytearray()
+    while n_out < n_pixels:
+        code = read_code()
+        if code == clear:
+            next_code = end + 1
+            width = min_code_size + 1
+            prefix[end + 1 :] = -1
+            prev = -1
+            continue
+        if code == end:
+            break
+        if prev < 0:  # first code after a clear is a root
+            out[n_out] = suffix[code]
+            n_out += 1
+            prev = code
+            continue
+        # expand `code` (or the prev+first-char special case)
+        stack.clear()
+        c = code
+        if code >= next_code:  # KwKwK case: code not yet in dict
+            c = prev
+            stack.append(0)  # placeholder for first char of prev, fixed below
+        while c >= clear + 2 and prefix[c] != -1:
+            stack.append(suffix[c])
+            c = prefix[c]
+        stack.append(suffix[c])
+        first = stack[-1]
+        if code >= next_code:
+            stack[0] = first
+        seq = bytes(reversed(stack))
+        take = min(len(seq), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(seq[:take], dtype=np.uint8)
+        n_out += take
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return out[:n_pixels]
+
+
+def _decode_gif(p: bytes) -> np.ndarray:
+    """GIF 87a/89a first frame → float32 grayscale array (h, w). Full
+    LZW decode (interlaced or sequential, local or global palette)."""
+    if p[:3] != b"GIF" or p[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF payload")
+    packed = p[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(p, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+        i += 3 * n
+    while i < len(p):
+        b = p[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(p) and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        iw = int.from_bytes(p[i + 5 : i + 7], "little")
+        ih = int.from_bytes(p[i + 7 : i + 9], "little")
+        ipacked = p[i + 9]
+        i += 10
+        pal = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(p, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = p[i]
+        i += 1
+        chunks = []
+        while i < len(p) and p[i] != 0:
+            ln = p[i]
+            chunks.append(p[i + 1 : i + 1 + ln])
+            i += 1 + ln
+        idx = _gif_lzw(b"".join(chunks), min_code, iw * ih).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows written in 4 passes
+            order = np.concatenate(
+                [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                 np.arange(2, ih, 4), np.arange(1, ih, 2)]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        return pal[idx].mean(axis=2).astype(np.float32)
+    raise ValueError("GIF contains no image frame")
+
+
+# JPEG zigzag scan order (spec Figure 5 / libjpeg jpeg_natural_order).
+_ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32,
+)
+
+# orthonormal 8-point DCT-II basis: IDCT(block) = B.T @ block @ B
+_DCT_B = np.array(
+    [[(np.sqrt(0.125) if k == 0 else 0.5) * np.cos((2 * n + 1) * k * np.pi / 16)
+      for n in range(8)] for k in range(8)]
+)
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (counts[16], symbols) → per-length
+    first-code/first-index arrays for bit-at-a-time decoding."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.symbols = symbols
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += counts[ln - 1]
+            k += counts[ln - 1]
+            self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over unstuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                return 0  # spec: pad with 1s/0s past the end
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, t: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            if code <= t.maxcode[ln]:
+                return t.symbols[t.valptr[ln] + code - t.mincode[ln]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(p: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0/SOF1) → float32 grayscale (h, w).
+
+    Full entropy decode of every component; IDCT only for Y (gray = the
+    luma plane — chroma is Huffman-walked to keep the bitstream in sync
+    but never reconstructed). Progressive (SOF2) raises."""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    i = 2
+    scan_comps: list[dict] = []
+    entropy_start = -1
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = p[i + 1]
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+        body = p[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq:
+                    tbl = np.frombuffer(body[j : j + 128], dtype=">u2").astype(np.int32)
+                    j += 128
+                else:
+                    tbl = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    j += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                counts = list(body[j + 1 : j + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _HuffTable(counts, bytes(body[j + 17 : j + 17 + n]))
+                j += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comps.append({**comp, "dc": tabs >> 4, "ac": tabs & 15})
+            entropy_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if entropy_start < 0 or not comps or h == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # unstuff entropy bytes, splitting at restart markers
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = entropy_start
+    while j < len(p):
+        b = p[j]
+        if b == 0xFF and j + 1 < len(p):
+            nxt = p[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    y_comp = scan_comps[0]
+    yplane = np.zeros((mcy * 8 * y_comp["v"], mcx * 8 * y_comp["h"]), dtype=np.float32)
+    yq = qt[y_comp["tq"]].astype(np.float64)
+
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(scan_comps)
+    coeff = np.zeros(64, dtype=np.float64)
+    for m in range(mcx * mcy):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(scan_comps)
+        my, mx = divmod(m, mcx)
+        for ci, comp in enumerate(scan_comps):
+            dc_t, ac_t = huff[(0, comp["dc"])], huff[(1, comp["ac"])]
+            for bv in range(comp["v"]):
+                for bh in range(comp["h"]):
+                    is_y = ci == 0
+                    if is_y:
+                        coeff[:] = 0.0
+                    t = reader.huff(dc_t)
+                    diff = _jpeg_extend(reader.bits(t), t)
+                    preds[ci] += diff
+                    if is_y:
+                        coeff[0] = preds[ci] * yq[0]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        v = _jpeg_extend(reader.bits(s), s)
+                        if is_y and k < 64:
+                            coeff[_ZIGZAG[k]] = v * yq[k]
+                        k += 1
+                    if is_y:
+                        block = _DCT_B.T @ coeff.reshape(8, 8) @ _DCT_B
+                        r0 = (my * comp["v"] + bv) * 8
+                        c0 = (mx * comp["h"] + bh) * 8
+                        yplane[r0 : r0 + 8, c0 : c0 + 8] = block
+    yplane = np.clip(yplane + 128.0, 0.0, 255.0)
+    ry, rx = vmax // y_comp["v"], hmax // y_comp["h"]
+    if ry > 1 or rx > 1:  # Y itself subsampled (rare): nearest upsample
+        yplane = np.repeat(np.repeat(yplane, ry, axis=0), rx, axis=1)
+    return yplane[:h, :w].astype(np.float32)
+
+
 def grid_mean_resize(img: np.ndarray, gh: int, gw: int) -> np.ndarray:
     """Array-space resize: mean-pool ``img`` (h, w) onto a ``gh×gw``
     grid (each output cell = mean of its source block; uneven splits
@@ -238,8 +587,9 @@ def decode_builtin(payload: bytes, kind: str, feat_dim: int) -> tuple[np.ndarray
     √feat_dim grid, flattened and scaled to [0, 1]; ``frames = 1``.
     Audio: PCM decode → ``feat_dim`` windowed RMS profile;
     ``frames`` = number of windows (the frame-sampling analog).
-    JPEG / GIF / unknown raise ``NotImplementedError`` — the declared
-    codec boundary (see module docstring).
+    Images cover BMP / PNG / GIF (LZW) / baseline JPEG; progressive
+    JPEG and unknown formats raise ``NotImplementedError`` — the
+    declared codec boundary (see module docstring).
     """
     if not payload:
         raise ValueError("empty media payload")
@@ -248,6 +598,10 @@ def decode_builtin(payload: bytes, kind: str, feat_dim: int) -> tuple[np.ndarray
         img = _decode_bmp(payload)
     elif fmt == "png":
         img = _decode_png(payload)
+    elif fmt == "gif":
+        img = _decode_gif(payload)
+    elif fmt == "jpeg":
+        img = _decode_jpeg(payload)
     elif fmt == "wav":
         x, _rate = _decode_wav(payload)
         n_win = max(min(feat_dim, len(x)), 1)
@@ -259,8 +613,8 @@ def decode_builtin(payload: bytes, kind: str, feat_dim: int) -> tuple[np.ndarray
         return feat, n_win
     else:
         raise NotImplementedError(
-            f"no built-in decoder for {fmt or 'unknown'} — JPEG/GIF need an "
-            "external codec; pass your own decode= kernel"
+            f"no built-in decoder for {fmt or 'unknown'} — pass your own "
+            "decode= kernel"
         )
     g = max(int(np.sqrt(feat_dim)), 1)
     grid = grid_mean_resize(img, g, g) / 255.0
