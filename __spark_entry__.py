@@ -580,6 +580,143 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load_table(spark, sf_dir, "documents"))
 
 
+def _synth_media_payloads(spark: SparkSession, sf_dir: str, decode_corpus: bool):
+    """Deterministic rule-derived media corpus over ``documents``:
+    every payload is synthesized from ``doc_id`` alone, so the probe /
+    decode *outputs* are computable in pure SQL without any decoding —
+    that is what makes the multimodal path oracle-checkable.
+
+    ``decode_corpus=False``: header-only payloads cycling through
+    bmp/png/gif/jpeg/wav/corrupt (``doc_id % 6``) with every fifth doc
+    mislabeled (declared width / duration off by one).
+    ``decode_corpus=True``: full constant-color 5×3 24-bit BMPs
+    (gray value ``doc_id % 256``) for the real pixel-decode path.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from webgraph_algo_rs_spark.functions.multimodal import MEDIA_SCHEMA
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "payload", "width", "height", "duration_ms")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if decode_corpus:
+                    w, h, c = 5, 3, d % 256
+                    row_b = (w * 3 + 3) & ~3
+                    px = (bytes([c, c, c] * w) + b"\x00" * (row_b - 3 * w)) * h
+                    payload = (
+                        b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\x00" * 4
+                        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+                        + w.to_bytes(4, "little", signed=True)
+                        + h.to_bytes(4, "little", signed=True)
+                        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                        + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+                        + b"\x00" * 16 + px
+                    )
+                    kind, dw, dh, dd = "image", w, h, None
+                else:
+                    sel = d % 6
+                    w, h = 1 + d % 13, 1 + d % 7
+                    mis = 1 if d % 5 == 0 else 0
+                    kind, dw, dh, dd = "image", w + mis, h, None
+                    if sel == 0:  # BMP: probe reads w/h at byte 18/22
+                        payload = b"BM" + b"\x00" * 16 + w.to_bytes(
+                            4, "little", signed=True
+                        ) + h.to_bytes(4, "little", signed=True)
+                    elif sel == 1:  # PNG: sig + IHDR length/type/w/h
+                        payload = (
+                            b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big")
+                            + b"IHDR" + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                        )
+                    elif sel == 2:  # GIF: logical screen descriptor
+                        payload = (
+                            b"GIF89a" + w.to_bytes(2, "little")
+                            + h.to_bytes(2, "little") + bytes([0, 0, 0])
+                        )
+                    elif sel == 3:  # JPEG: SOI + SOF0 frame header
+                        payload = (
+                            b"\xff\xd8\xff\xc0" + (11).to_bytes(2, "big")
+                            + bytes([8]) + h.to_bytes(2, "big")
+                            + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+                        )
+                    elif sel == 4:  # WAV: fmt byte_rate 8000, sized data chunk
+                        data_size = 80 * (1 + d % 4)
+                        payload = (
+                            b"RIFF" + b"\x00" * 4 + b"WAVE"
+                            + b"fmt " + (16).to_bytes(4, "little")
+                            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+                            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+                            + b"data" + data_size.to_bytes(4, "little")
+                        )
+                        kind, dw, dh = "audio", None, None
+                        dd = data_size // 8 + mis
+                    else:  # corrupt: probe yields no format
+                        payload = b"\x00notamedia" + d.to_bytes(4, "little")
+                out["media_id"].append(d)
+                out["kind"].append(kind)
+                out["payload"].append(payload)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["duration_ms"].append(dd)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "kind": out["kind"],
+                    "payload": out["payload"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int32"),
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def q_media_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header probe + metadata cross-check over the synthetic
+    rule-derived corpus — every output column is predicted exactly by
+    the DuckDB oracle replaying the synthesis rule."""
+    from webgraph_algo_rs_spark.functions.multimodal import media_metadata
+
+    media = _synth_media_payloads(spark, sf_dir, decode_corpus=False)
+    return media_metadata(media).select(
+        F.col("media_id").alias("doc_id"),
+        "kind",
+        "detected_format",
+        "width",
+        "height",
+        "duration_ms",
+        "metadata_consistent",
+    )
+
+
+def q_media_decode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode through the probe-gated Spark route: constant
+    5×3 BMPs whose decoded grid-mean features the oracle predicts from
+    the gray value alone (feature·255 rounds back to ``doc_id % 256``)."""
+    from webgraph_algo_rs_spark.functions.multimodal import (
+        decode_builtin,
+        probe_gated_features,
+    )
+
+    media = _synth_media_payloads(spark, sf_dir, decode_corpus=True)
+    feats, _quarantine = probe_gated_features(media, feat_dim=4, decode=decode_builtin)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_bytes",
+        F.col("frames_sampled").cast("long").alias("frames_sampled"),
+        F.round(F.element_at("feature", 1).cast("double") * 255.0, 1).alias("gray_f0"),
+        F.round(F.element_at("feature", 4).cast("double") * 255.0, 1).alias("gray_f3"),
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webgraph_algo_rs_spark.functions import cosine_topk_bruteforce
     from webgraph_algo_rs_spark.sources.tables import load_table
@@ -787,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs_docs": q_lsh_pairs_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
         "simhash_docs": q_simhash_docs,
+        "media_probe_docs": q_media_probe_docs,
+        "media_decode_docs": q_media_decode_docs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1166,6 +1305,29 @@ SELECT doc_id,
             for j in range(64)
         ) + """ AS BIGINT) AS simhash
 FROM g
+""",
+        # the synthetic-media corpus is rule-derived from doc_id alone,
+        # so the oracle predicts probe/decode outputs without decoding
+        "media_probe_docs": """
+SELECT doc_id,
+       CASE WHEN doc_id % 6 = 4 THEN 'audio' ELSE 'image' END AS kind,
+       CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+                       WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' END AS detected_format,
+       CASE WHEN doc_id % 6 < 4 THEN CAST(1 + doc_id % 13 AS INT) END AS width,
+       CASE WHEN doc_id % 6 < 4 THEN CAST(1 + doc_id % 7 AS INT) END AS height,
+       CASE WHEN doc_id % 6 = 4 THEN CAST(10 * (1 + doc_id % 4) AS INT) END AS duration_ms,
+       (doc_id % 6 < 5 AND doc_id % 5 <> 0) AS metadata_consistent
+FROM documents
+""",
+        # constant 5x3 24-bit BMP: 54-byte header + 3 padded 16-byte rows;
+        # grid-mean of a constant image recovers the gray value exactly
+        "media_decode_docs": """
+SELECT doc_id,
+       CAST(102 AS BIGINT) AS n_bytes,
+       CAST(1 AS BIGINT) AS frames_sampled,
+       ROUND(CAST(doc_id % 256 AS DOUBLE), 1) AS gray_f0,
+       ROUND(CAST(doc_id % 256 AS DOUBLE), 1) AS gray_f3
+FROM documents
 """,
         "lsh_pairs_docs": _DOCS_SH + lsh_bands + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
