@@ -26,6 +26,21 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(scope="module")
+def cnr_spark():
+    """Scale-appropriate session for the cnr-2000 ExactSumSweep runs:
+    the shared 4-thread/4g test fixture OOMs mid-run (execution memory
+    exhausted in the sort-merge joins ~28 min in), while the engine's
+    sandbox defaults (local[32], 16g driver) complete in 7 rounds.
+    Spark pins driver memory at JVM start, so run these tests in their
+    own pytest process (``-k radius_diameter``) — the slow-test chain
+    already does."""
+    from webgraph_algo_rs_spark.session import get_spark
+
+    s = get_spark(app_name="cnr-slow")
+    yield s
+
+
 def test_bv_decode_arc_count_and_transpose_equality():
     from webgraph_algo_rs_spark.sources.bvgraph import bv_edge_arrays
 
@@ -64,7 +79,7 @@ def test_cnr2000_scc_anchor(spark):
     os.environ.get("WGA_SLOW_TESTS") != "1",
     reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
 )
-def test_cnr2000_radius_diameter_directed(spark):
+def test_cnr2000_radius_diameter_directed(cnr_spark):
     """Directed ExactSumSweep at reference scale — the reference
     benchmarks SumSweep RADIUS_DIAMETER on exactly these graphs
     (`/root/reference/benchmark.py:7-14`). Output level RadiusDiameter
@@ -72,6 +87,7 @@ def test_cnr2000_radius_diameter_directed(spark):
     cross-checked against exact multi-source-BFS eccentricities of 24
     sampled pivots: every sample lower-bounds the diameter, and any
     radial sample upper-bounds the radius."""
+    spark = cnr_spark
     from pyspark.sql import functions as F
 
     from webgraph_algo_rs_spark.operators import radius_diameter_directed
@@ -152,7 +168,7 @@ def test_cnr2000_hyperball_golden_parity(spark):
     os.environ.get("WGA_SLOW_TESTS") != "1",
     reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
 )
-def test_cnr2000_radius_diameter_undirected(spark):
+def test_cnr2000_radius_diameter_undirected(cnr_spark):
     """Undirected ExactSumSweep at reference scale (the reference's
     undirected suite, `tests/test_undir_sum_sweep.rs`, run on the
     symmetrized cnr-2000). Output level RadiusDiameter; certified values
@@ -160,6 +176,7 @@ def test_cnr2000_radius_diameter_undirected(spark):
     24 sampled vertices: undirected radius = min ecc over ALL vertices,
     so every sample upper-bounds the radius and lower-bounds the
     diameter."""
+    spark = cnr_spark
     from pyspark.sql import functions as F
 
     from webgraph_algo_rs_spark.operators import radius_diameter
