@@ -80,7 +80,9 @@ def test_pagerank_blocked_matches_per_step(spark):
     s_blocked, s_step = {}, {}
     blocked = {
         r["vertex"]: r["rank"]
-        for r in pagerank(df, tol=1e-7, max_iter=300, stats=s_blocked).collect()
+        for r in pagerank(
+            df, tol=1e-7, max_iter=300, stats=s_blocked, block_size=4
+        ).collect()
     }
     step = {
         r["vertex"]: r["rank"]
@@ -307,9 +309,92 @@ def test_pagerank_blocked_deep_iteration_stats_safe(spark):
     per materialize — pin that 160 supersteps (40 blocks) survive."""
     df = edge_df(spark, CYCLE4, [1.0] * len(CYCLE4))
     s: dict = {}
-    out = pagerank(df, tol=0.0, max_iter=160, stats=s).collect()
+    out = pagerank(df, tol=0.0, max_iter=160, stats=s, block_size=4).collect()
     assert s["iterations"] == 160
     assert abs(sum(r["rank"] for r in out) - 1.0) < 1e-9
+
+
+def test_local_csr_matches_distributed(spark):
+    """The partition-local CSR kernels (plans/local_csr.py — the north
+    star's "vectorized Arrow/pandas UDFs over partition-local CSR
+    blocks") must agree with the distributed superstep loops on every
+    fixture graph: CC/LPA exactly (integer min exchange / integer-weight
+    majority votes), PageRank to summation-order noise, and the
+    iteration counters must match so the stop rules are proven
+    identical, not just the fixpoints."""
+    for name, arcs in GRAPHS.items():
+        w = _w(arcs)
+        df = edge_df(spark, arcs, w)
+
+        s_loc, s_dist = {}, {}
+        loc = {
+            r["vertex"]: r["rank"]
+            for r in pagerank(
+                df, tol=1e-8, max_iter=300, stats=s_loc, local_mode=True
+            ).collect()
+        }
+        dist = {
+            r["vertex"]: r["rank"]
+            for r in pagerank(
+                df, tol=1e-8, max_iter=300, stats=s_dist, local_mode=False
+            ).collect()
+        }
+        assert s_loc["iterations"] == s_dist["iterations"], name
+        lv = np.array([loc[k] for k in sorted(loc)])
+        dv = np.array([dist[k] for k in sorted(dist)])
+        np.testing.assert_allclose(lv, dv, rtol=1e-12, atol=1e-15)
+
+        s_loc, s_dist = {}, {}
+        loc = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, stats=s_loc, local_mode=True).collect()
+        }
+        dist = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, stats=s_dist, local_mode=False).collect()
+        }
+        assert loc == dist, name
+        assert s_loc["iterations"] == s_dist["iterations"], name
+
+        for cap in (8, 3):  # fixpoint, then an oscillation cap
+            s_loc, s_dist = {}, {}
+            loc = {
+                r["vertex"]: r["label"]
+                for r in label_propagation(
+                    df, max_iter=cap, stats=s_loc, local_mode=True
+                ).collect()
+            }
+            dist = {
+                r["vertex"]: r["label"]
+                for r in label_propagation(
+                    df, max_iter=cap, stats=s_dist, local_mode=False
+                ).collect()
+            }
+            assert loc == dist, (name, cap)
+            assert s_loc["iterations"] == s_dist["iterations"], (name, cap)
+
+
+def test_local_csr_auto_dispatch_threshold(spark):
+    """Auto mode takes the local kernel only under the size threshold:
+    flooring ``wga.localKernelMaxEdges`` to 0 must route the same call
+    to the distributed loop, with identical results and stop iteration
+    (both paths end materialized, so dispatch is observable through the
+    stats counters and value agreement, not the final plan string)."""
+    df = edge_df(spark, NINE)
+    from webgraph_algo_rs_spark.plans.local_csr import LOCAL_KERNEL_MAX_EDGES_CONF
+
+    s_auto, s_dist = {}, {}
+    ranks_auto = pagerank(df, stats=s_auto)
+    spark.conf.set(LOCAL_KERNEL_MAX_EDGES_CONF, "0")
+    try:
+        ranks_dist = pagerank(df, stats=s_dist)
+    finally:
+        spark.conf.unset(LOCAL_KERNEL_MAX_EDGES_CONF)
+    assert s_auto["iterations"] == s_dist["iterations"]
+    a = {r.vertex: r.rank for r in ranks_auto.collect()}
+    b = {r.vertex: r.rank for r in ranks_dist.collect()}
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
 
 
 def test_cc_blocked_matches_per_step(spark):
@@ -321,7 +406,7 @@ def test_cc_blocked_matches_per_step(spark):
     s_blocked, s_step = {}, {}
     blocked = {
         r["vertex"]: r["component"]
-        for r in connected_components(df, stats=s_blocked).collect()
+        for r in connected_components(df, stats=s_blocked, block_size=4).collect()
     }
     step = {
         r["vertex"]: r["component"]
@@ -342,7 +427,9 @@ def test_lpa_blocked_matches_per_step(spark):
         s_blocked, s_step = {}, {}
         blocked = {
             r["vertex"]: r["label"]
-            for r in label_propagation(df, max_iter=cap, stats=s_blocked).collect()
+            for r in label_propagation(
+                df, max_iter=cap, stats=s_blocked, block_size=4
+            ).collect()
         }
         step = {
             r["vertex"]: r["label"]

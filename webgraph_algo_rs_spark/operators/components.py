@@ -44,7 +44,8 @@ def connected_components(
     checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
     bucketize_edges: bool = False,
-    block_size: int = 4,
+    block_size: int | None = None,
+    local_mode: bool | None = None,
 ) -> DataFrame:
     """Returns ``(vertex:bigint, component:bigint)`` on the symmetrized graph.
 
@@ -53,13 +54,53 @@ def connected_components(
     ``block_size``: min-supersteps chained per Spark action (the
     PageRank blocked-loop pattern, `pagerank.py:233-336` — per-round
     driver latency dominates the small-graph path at ~50 supersteps ×
-    ~50 ms); clamped to 1 when ``checkpoint`` (per-iteration durability
-    is the point) or ``bucketize_edges`` (persist-chain path) is given.
-    The stop rule — first superstep with zero label changes — is
-    evaluated per chained step from the block's carried columns, so the
-    result is bit-identical to the per-step loop.
+    ~50 ms); default 4 when unset; clamped to 1 when ``checkpoint``
+    (per-iteration durability is the point) or ``bucketize_edges``
+    (persist-chain path) is given. The stop rule — first superstep with
+    zero label changes — is evaluated per chained step from the block's
+    carried columns, so the result is bit-identical to the per-step loop.
+    ``local_mode``: ``True`` forces the partition-local CSR kernel
+    (``plans/local_csr.py``), ``False`` forbids it, ``None`` auto-picks
+    it under ``wga.localKernelMaxEdges`` edges when no explicit
+    strategy (checkpoint / bucketize / block_size) was requested.
+    Exact: min-label exchange is ordering-insensitive integer math.
     """
     spark = edges.sparkSession
+    if (
+        checkpoint is None
+        and not bucketize_edges
+        and local_mode is not False
+        and (local_mode or block_size is None)
+    ):
+        from webgraph_algo_rs_spark.plans.local_csr import (
+            cc_kernel,
+            local_kernel_threshold,
+            probe_edge_count,
+            run_local_kernel,
+        )
+
+        thr = local_kernel_threshold(spark)
+        n_edges = probe_edge_count(edges, thr)
+        if n_edges == 0:
+            if stats is not None:
+                stats.update(iterations=0, changed=0)
+            return spark.createDataFrame([], "vertex bigint, component bigint")
+        if local_mode or n_edges <= thr:
+            out = run_local_kernel(
+                edges,
+                "vertex bigint, component bigint, iterations int, changed bigint",
+                cc_kernel(max_iter),
+                with_weight=False,
+            )
+            if stats is not None:
+                head = out.select("iterations", "changed").first()
+                stats.update(
+                    iterations=int(head["iterations"]), changed=int(head["changed"])
+                )
+            return out.select("vertex", "component")
+
+    if block_size is None:
+        block_size = 4
     sym_plan = symmetrize(edges).select(SRC, DST)
     drop_bucketed = None
     if bucketize_edges:

@@ -38,19 +38,60 @@ def label_propagation(
     checkpoint: CheckpointManager | None = None,
     stats: dict | None = None,
     bucketize_edges: bool = False,
-    block_size: int = 4,
+    block_size: int | None = None,
+    local_mode: bool | None = None,
 ) -> DataFrame:
     """Returns ``(vertex:bigint, label:bigint)``.
 
     ``bucketize_edges``: big-graph path — persist the symmetrized arcs
     bucketed on ``src`` once so each superstep shuffles only labels.
     ``block_size``: majority-vote supersteps chained per Spark action
-    (the PageRank blocked-loop pattern, `pagerank.py:233-336`); clamped
-    to 1 with ``checkpoint`` or ``bucketize_edges``. The stop rule —
-    first superstep with zero label changes — is evaluated per chained
-    step, bit-identical to the per-step loop.
+    (the PageRank blocked-loop pattern, `pagerank.py:233-336`); default
+    4 when unset; clamped to 1 with ``checkpoint`` or
+    ``bucketize_edges``. The stop rule — first superstep with zero
+    label changes — is evaluated per chained step, bit-identical to the
+    per-step loop.
+    ``local_mode``: ``True`` forces the partition-local CSR kernel
+    (``plans/local_csr.py``), ``False`` forbids it, ``None`` auto-picks
+    it under ``wga.localKernelMaxEdges`` edges when no explicit
+    strategy (checkpoint / bucketize / block_size) was requested.
+    Integer-weight tallies are bit-exact vs the distributed loop.
     """
     spark = edges.sparkSession
+    if (
+        checkpoint is None
+        and not bucketize_edges
+        and local_mode is not False
+        and (local_mode or block_size is None)
+    ):
+        from webgraph_algo_rs_spark.plans.local_csr import (
+            local_kernel_threshold,
+            lpa_kernel,
+            probe_edge_count,
+            run_local_kernel,
+        )
+
+        thr = local_kernel_threshold(spark)
+        n_edges = probe_edge_count(edges, thr)
+        if n_edges == 0:
+            if stats is not None:
+                stats.update(iterations=0, changed=0)
+            return spark.createDataFrame([], "vertex bigint, label bigint")
+        if local_mode or n_edges <= thr:
+            out = run_local_kernel(
+                edges,
+                "vertex bigint, label bigint, iterations int, changed bigint",
+                lpa_kernel(max_iter),
+            )
+            if stats is not None:
+                head = out.select("iterations", "changed").first()
+                stats.update(
+                    iterations=int(head["iterations"]), changed=int(head["changed"])
+                )
+            return out.select("vertex", "label")
+
+    if block_size is None:
+        block_size = 4
     drop_bucketed = None
     if bucketize_edges:
         sym, drop_bucketed = bucketize(

@@ -57,6 +57,7 @@ def pagerank(
     bucketize_edges: bool = False,
     lineage_cut_every: int = 6,
     block_size: int | None = None,
+    local_mode: bool | None = None,
 ) -> DataFrame:
     """Returns ``(vertex:bigint, rank:double)``; ranks sum to 1.
 
@@ -68,9 +69,52 @@ def pagerank(
     docstring; default 4, clamped to 1 when ``checkpoint`` is given —
     per-iteration durability is the point of checkpointing — or when
     ``bucketize_edges`` keeps the persist-chain big-graph path).
+    ``local_mode``: ``True`` forces the partition-local CSR kernel
+    (``plans/local_csr.py`` — the north star's "vectorized Arrow/pandas
+    UDFs over partition-local CSR blocks"); ``False`` forbids it;
+    ``None`` auto-picks it for graphs under ``wga.localKernelMaxEdges``
+    edges when no other physical strategy was requested (no checkpoint,
+    no bucketizing, no explicit ``block_size``).
     """
     spark = edges.sparkSession
     edges = edges.select(SRC, DST, W)
+
+    local_eligible = (
+        checkpoint is None
+        and not bucketize_edges
+        and local_mode is not False
+        and (local_mode or block_size is None)
+    )
+    if local_eligible:
+        from webgraph_algo_rs_spark.plans.local_csr import (
+            local_kernel_threshold,
+            pagerank_kernel,
+            probe_edge_count,
+            run_local_kernel,
+        )
+
+        thr = local_kernel_threshold(spark)
+        n_edges = probe_edge_count(edges, thr)
+        if n_edges == 0:
+            if stats is not None:
+                stats.update(iterations=0, residual=0.0, n_vertices=0, wall_sec=0.0)
+            return spark.createDataFrame([], "vertex bigint, rank double")
+        if local_mode or n_edges <= thr:
+            t0 = time.time()
+            out = run_local_kernel(
+                edges,
+                "vertex bigint, rank double, iterations int, residual double",
+                pagerank_kernel(damping, tol, max_iter),
+            )
+            if stats is not None:
+                head = out.select("iterations", "residual").first()
+                stats.update(
+                    iterations=int(head["iterations"]),
+                    residual=float(head["residual"]),
+                    n_vertices=out.count(),
+                    wall_sec=time.time() - t0,
+                )
+            return out.select("vertex", "rank")
 
     vertices = materialize(graph_vertices(edges))
     n = vertices.count()
