@@ -175,20 +175,24 @@ def test_triangles_hot_vertex_star_bounded(spark):
 
 
 def test_bfs_fixtures(spark):
-    # diamond from 0: dists [0,1,2,2] (reference breadth_first/seq.rs:36-52)
-    df = edge_df(spark, DIAMOND)
-    got = {
-        r["vertex"]: r["distance"] for r in bfs_distances(df, [0]).collect()
-    }
-    assert got == {0: 0, 1: 1, 2: 2, 3: 2}
-    # nine graph vs brute-force oracle from every vertex (test_bfv.rs pattern)
-    nine = edge_df(spark, NINE)
-    multi = bfs_distances(nine, list(range(9)))
-    rows = multi.collect()
-    for s in range(9):
-        want = bfs_oracle([(u, v, 1.0) for u, v in NINE], s)
-        got = {r["vertex"]: r["distance"] for r in rows if r["source"] == s}
-        assert got == want, f"source {s}"
+    # both physical paths (local-CSR kernel and distributed anti-join
+    # loop) must satisfy the same oracle
+    for lm in (True, False):
+        # diamond from 0: dists [0,1,2,2] (reference breadth_first/seq.rs:36-52)
+        df = edge_df(spark, DIAMOND)
+        got = {
+            r["vertex"]: r["distance"]
+            for r in bfs_distances(df, [0], local_mode=lm).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2, 3: 2}, lm
+        # nine graph vs brute-force oracle from every vertex (test_bfv.rs)
+        nine = edge_df(spark, NINE)
+        multi = bfs_distances(nine, list(range(9)), local_mode=lm)
+        rows = multi.collect()
+        for s in range(9):
+            want = bfs_oracle([(u, v, 1.0) for u, v in NINE], s)
+            got = {r["vertex"]: r["distance"] for r in rows if r["source"] == s}
+            assert got == want, (lm, s)
 
 
 def test_topsort_and_acyclicity(spark):
@@ -247,7 +251,7 @@ def test_deep_chain_bounded_plans(spark):
     n = 150
     chain = edge_df(spark, [(i, i + 1) for i in range(n)])
 
-    bfs = bfs_distances(chain, [0])
+    bfs = bfs_distances(chain, [0], local_mode=False)
     got = {r.vertex: r.distance for r in bfs.collect()}
     assert got == {i: i for i in range(n + 1)}
     # checkpointed accumulator → the result plan is a bare RDD scan
@@ -269,35 +273,71 @@ def test_bfs_predecessors_and_filter(spark):
     from webgraph_algo_rs_spark.operators import bfs_distances
 
     edges = edge_df(spark, NINE)
-    rows = bfs_distances(edges, [1], predecessors=True).collect()
-    dist = {r.vertex: r.distance for r in rows}
-    arcs = {(u, v) for u, v in NINE}
-    for r in rows:
-        if r.vertex == 1:
-            assert r.pred is None and r.distance == 0
-        else:
-            assert (r.pred, r.vertex) in arcs, (r.pred, r.vertex)
-            assert dist[r.pred] == r.distance - 1, r
-            # min-claim determinism: pred is the smallest valid parent
-            valid = {u for (u, v) in arcs if v == r.vertex and dist.get(u) == r.distance - 1}
-            assert r.pred == min(valid)
+    for lm in (True, False):
+        rows = bfs_distances(edges, [1], predecessors=True, local_mode=lm).collect()
+        dist = {r.vertex: r.distance for r in rows}
+        arcs = {(u, v) for u, v in NINE}
+        for r in rows:
+            if r.vertex == 1:
+                assert r.pred is None and r.distance == 0
+            else:
+                assert (r.pred, r.vertex) in arcs, (r.pred, r.vertex)
+                assert dist[r.pred] == r.distance - 1, r
+                # min-claim determinism: pred is the smallest valid parent
+                valid = {
+                    u
+                    for (u, v) in arcs
+                    if v == r.vertex and dist.get(u) == r.distance - 1
+                }
+                assert r.pred == min(valid)
 
-    # global vertex filter: visit only {1, 2, 3, 4} → distances equal
-    # BFS over the induced subgraph
-    allowed = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "vertex bigint")
-    got = {
-        r.vertex: r.distance
-        for r in bfs_distances(edges, [1], vertex_filter=allowed).collect()
-    }
-    induced = [(u, v) for u, v in NINE if u in (1, 2, 3, 4) and v in (1, 2, 3, 4)]
-    want = {
-        r.vertex: r.distance
-        for r in bfs_distances(edge_df(spark, induced), [1]).collect()
-    }
-    assert got == want and set(got) <= {1, 2, 3, 4}
+        # global vertex filter: visit only {1, 2, 3, 4} → distances equal
+        # BFS over the induced subgraph
+        allowed = spark.createDataFrame(
+            [(v,) for v in (1, 2, 3, 4)], "vertex bigint"
+        )
+        got = {
+            r.vertex: r.distance
+            for r in bfs_distances(
+                edges, [1], vertex_filter=allowed, local_mode=lm
+            ).collect()
+        }
+        induced = [
+            (u, v) for u, v in NINE if u in (1, 2, 3, 4) and v in (1, 2, 3, 4)
+        ]
+        want = {
+            r.vertex: r.distance
+            for r in bfs_distances(
+                edge_df(spark, induced), [1], local_mode=lm
+            ).collect()
+        }
+        assert got == want and set(got) <= {1, 2, 3, 4}, lm
 
-    # a source excluded by the filter is not visited at all
-    assert bfs_distances(edges, [5], vertex_filter=allowed).count() == 0
+        # a source excluded by the filter is not visited at all
+        assert (
+            bfs_distances(
+                edges, [5], vertex_filter=allowed, local_mode=lm
+            ).count()
+            == 0
+        ), lm
+
+    # per-source (source, vertex) filter — the SCC same-color sweep
+    # shape: local kernel must agree with the distributed loop exactly,
+    # including a flood whose seed is outside its own filter (6)
+    psf = spark.createDataFrame(
+        [(1, v) for v in (1, 2, 3, 4)] + [(5, 5), (5, 6), (6, 0)],
+        "source bigint, vertex bigint",
+    )
+    out = {}
+    for lm in (True, False):
+        out[lm] = {
+            (r.source, r.vertex, r.distance)
+            for r in bfs_distances(
+                edges, [1, 5, 6], vertex_filter=psf, local_mode=lm
+            ).collect()
+        }
+    assert out[True] == out[False]
+    assert not any(s == 6 for (s, _, _) in out[True])
 
 
 def test_pagerank_blocked_deep_iteration_stats_safe(spark):

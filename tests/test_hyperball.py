@@ -195,15 +195,57 @@ def test_hyperball_local_mode_lockstep(spark):
     local = {
         r["vertex"]: (r["reachable"], r["sum_distances"], r["harmonic"])
         for r in hyperball(
-            df, log2m=6, stats=s_local, local_frontier_frac=1.0
+            df, log2m=6, stats=s_local, local_frontier_frac=1.0, local_mode=False
         ).collect()
     }
     off = {
         r["vertex"]: (r["reachable"], r["sum_distances"], r["harmonic"])
         for r in hyperball(
-            df, log2m=6, stats=s_off, local_frontier_frac=0.0
+            df, log2m=6, stats=s_off, local_frontier_frac=0.0, local_mode=False
         ).collect()
     }
     assert local == off
     assert s_local["local_supersteps"] == s_local["iterations"]
     assert s_off["local_supersteps"] == 0
+
+
+def test_hyperball_local_matches_distributed(spark):
+    """The partition-local CSR HyperBall kernel must be bit-identical
+    to the distributed loop — registers are order-independent integer
+    maxima and the delta accumulators replay the same scalar float ops
+    in the same per-superstep order — including the iteration count and
+    the weighted + discounted variants."""
+    from tests.conftest import edge_df, er_graph
+    from webgraph_algo_rs_spark.operators import hyperball
+
+    arcs = er_graph(60, 0.06, seed=7)
+    df = edge_df(spark, arcs)
+    w = df.sparkSession.createDataFrame(
+        [(v, 1 + (v % 4)) for v in range(60)], "vertex bigint, weight int"
+    )
+    for kwargs in (
+        {},
+        {"node_weights": w},
+        {"discount": lambda t: 1.0 / (t * t)},
+        {"rel_threshold": 0.2},
+    ):
+        s_loc, s_dist = {}, {}
+        loc = {
+            r["vertex"]: tuple(r)
+            for r in hyperball(
+                df, log2m=6, stats=s_loc, local_mode=True, **kwargs
+            ).collect()
+        }
+        dist = {
+            r["vertex"]: tuple(r)
+            for r in hyperball(
+                df, log2m=6, stats=s_dist, local_mode=False, **kwargs
+            ).collect()
+        }
+        assert loc == dist, kwargs
+        assert s_loc["iterations"] == s_dist["iterations"], kwargs
+        nf_l = s_loc["neighbourhood_function"]
+        nf_d = s_dist["neighbourhood_function"]
+        assert len(nf_l) == len(nf_d)
+        for x, y in zip(nf_l, nf_d):
+            assert x == pytest.approx(y, rel=1e-12)

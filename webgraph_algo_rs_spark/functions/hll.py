@@ -109,6 +109,11 @@ def log2m_for_rsd(target_rsd: float) -> int:
     return int(math.ceil(math.log2((1.106 / target_rsd) ** 2)))
 
 
+# 2^-k for every possible uint8 register value; integer powers of two
+# are exactly representable, so table lookup ≡ np.power bit-for-bit
+_POW2_NEG = np.power(2.0, -np.arange(256, dtype=np.float64))
+
+
 @dataclass(frozen=True)
 class HllParams:
     """Counter-logic parameters (K5 analog of ``HyperLogLogCounterLogic``).
@@ -181,10 +186,19 @@ class HllParams:
     # ---------------------------------------------------------------- K2
     def estimate(self, regs: np.ndarray) -> np.ndarray:
         """Cardinality estimates for a (n, m) uint8 register batch
-        (`hyper_log_log_logic.rs:161-178`)."""
+        (`hyper_log_log_logic.rs:161-178`).
+
+        ``2^-reg`` comes from a 256-entry lookup table — bit-identical
+        to the elementwise ``np.power`` it replaces (integer powers of
+        two are exact in float64) and ~10× faster on wide batches (the
+        pow was the hot path of both the distributed ``est_udf`` and
+        the local kernel)."""
         regs = np.ascontiguousarray(regs)
         m = float(self.m)
-        harm = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+        # fancy indexing, NOT .take: on uint8 index arrays take() falls
+        # off numpy's fast path (measured 12.6 s vs 0.4 s on a 325k×256
+        # batch)
+        harm = _POW2_NEG[regs].sum(axis=1)
         est = self.alpha * m * m / harm
         zeros = (regs == 0).sum(axis=1)
         # strict < matches the reference exactly (`:173`)

@@ -26,6 +26,7 @@ def bfs_distances(
     max_depth: int = 10_000,
     predecessors: bool = False,
     vertex_filter: DataFrame | None = None,
+    local_mode: bool | None = None,
 ) -> DataFrame:
     """Distances from each source:
     ``(source:bigint, vertex:bigint, distance:bigint[, pred:bigint])``.
@@ -45,13 +46,58 @@ def bfs_distances(
     ``(source, vertex)`` pairs allowing a different filter per flood —
     the latter is how SCC's same-color backward sweep reuses this
     function.
+
+    ``local_mode``: ``True`` forces the partition-local CSR kernel
+    (``plans/local_csr.bfs_local`` — every flood level-synchronous
+    inside one ``mapInPandas`` task, one Spark job per call instead of
+    one barrier per BFS level), ``False`` forbids it, ``None``
+    auto-picks it under ``wga.localKernelMaxEdges`` edges. The probe
+    counts at most threshold+1 raw edge rows (a conservative upper
+    bound on the distinct count), so dispatch never scans a huge table.
     """
     spark = edges.sparkSession
-    e = edges.select(SRC, DST).distinct()
     if isinstance(sources, list):
         sources = spark.createDataFrame(
             [(int(s),) for s in sources], "source bigint"
         )
+    if local_mode is not False:
+        from webgraph_algo_rs_spark.plans.local_csr import (
+            LOCAL_BFS_MAX_SOURCES_CONF,
+            LOCAL_BFS_MAX_SOURCES_DEFAULT,
+            bfs_local,
+            local_kernel_threshold,
+            probe_edge_count,
+        )
+
+        thr = local_kernel_threshold(spark)
+        eligible = local_mode or (
+            thr > 0 and probe_edge_count(edges.select(SRC, DST), thr) <= thr
+        )
+        if eligible and not local_mode:
+            # unfiltered (or globally filtered) floods emit up to
+            # |sources|·|reached| rows from the ONE kernel task — cap the
+            # source count so a mass flood (the ESS endgame seeds every
+            # open vertex) keeps the partitioned distributed path. A
+            # per-source filter bounds output by the filter's row count,
+            # so the per-SCC flood pattern stays local at any SCC count.
+            if vertex_filter is None or "source" not in vertex_filter.columns:
+                try:
+                    src_cap = int(
+                        spark.conf.get(
+                            LOCAL_BFS_MAX_SOURCES_CONF,
+                            str(LOCAL_BFS_MAX_SOURCES_DEFAULT),
+                        )
+                    )
+                except (TypeError, ValueError):
+                    src_cap = LOCAL_BFS_MAX_SOURCES_DEFAULT
+                eligible = (
+                    probe_edge_count(sources.select("source"), src_cap) <= src_cap
+                )
+        if eligible:
+            return bfs_local(
+                edges.select(SRC, DST), sources, max_depth, predecessors, vertex_filter
+            )
+    e = edges.select(SRC, DST).distinct()
     seeds = sources.select("source", F.col("source").alias("vertex"))
     fcols = None
     if vertex_filter is not None:

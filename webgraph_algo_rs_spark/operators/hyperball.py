@@ -113,6 +113,7 @@ def hyperball(
     n_upper: int | None = None,
     node_weights: DataFrame | None = None,
     local_frontier_frac: float = 1 / 32,
+    local_mode: bool | None = None,
 ) -> DataFrame:
     """Run HyperBall on the out-direction of ``edges``.
 
@@ -144,8 +145,53 @@ def hyperball(
     full sketch state shuffles in the (long) saturated tail —
     supersteps 20–81 of the cnr-2000 golden run touch <1k of 325k
     vertices. Set to 0 to disable.
+    ``local_mode``: ``True`` forces the partition-local CSR kernel
+    (``plans/local_csr.hyperball_local`` — the whole systolic loop in
+    one task, bit-identical outputs and iteration count), ``False``
+    forbids it, ``None`` auto-picks it under ``wga.localKernelMaxEdges``
+    edges when no explicit physical strategy (``n_salt``) was
+    requested. In local-kernel runs ``stats["local_supersteps"]``
+    equals ``iterations`` (every superstep is frontier-local by
+    construction).
     """
     params = HllParams(log2m=log2m, seed=seed, hasher=hasher, n_upper=n_upper)
+    if local_mode is not False and (local_mode or n_salt == 0):
+        from webgraph_algo_rs_spark.plans.local_csr import (
+            hyperball_local,
+            local_kernel_threshold,
+            probe_edge_count,
+        )
+
+        spark = edges.sparkSession
+        # a HyperBall superstep moves E·m register BYTES (not E rows
+        # like BFS/PageRank), and the dense early supersteps touch every
+        # edge — measured on a cnr-2000-shaped graph the single-core
+        # kernel costs ~20 s/superstep while 32 distributed cores do it
+        # in ~1.5 s. Scale the edge threshold down by m so the local
+        # path only claims graphs whose whole run is genuinely cheaper
+        # than the per-superstep driver barriers it saves.
+        thr = local_kernel_threshold(spark) // params.m
+        if local_mode or (
+            thr > 0 and 0 < probe_edge_count(edges.select(SRC, DST), thr) <= thr
+        ):
+            t0 = time.time()
+            out = hyperball_local(
+                edges, node_weights, params, max_iter, rel_threshold, discount
+            )
+            if stats is not None:
+                head = out.select("iterations", "nf").filter(
+                    F.col("nf").isNotNull()
+                ).first()
+                iters = int(head["iterations"]) if head is not None else 0
+                stats.update(
+                    iterations=iters,
+                    neighbourhood_function=(
+                        [float(x) for x in head["nf"]] if head is not None else [0.0]
+                    ),
+                    wall_sec=time.time() - t0,
+                    local_supersteps=iters,
+                )
+            return out.drop("iterations", "nf")
     merge = _group_merge_factory(params)
 
     @F.pandas_udf(BinaryType())

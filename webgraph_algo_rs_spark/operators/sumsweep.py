@@ -60,29 +60,18 @@ def _tagged_bfs(sym: DataFrame, seeds: DataFrame) -> DataFrame:
     ``(vertex, pivot, dist)`` for every (vertex, pivot-flood) pair
     reached. State is |pivots|/component × component size — bounded by
     the per-round pivot budget, not the graph.
+
+    Delegates to :func:`~webgraph_algo_rs_spark.operators.bfs.bfs_distances`
+    so the size-dispatched local-CSR kernel applies here too; the
+    distributed fallback is the same level-synchronous anti-join loop
+    this function used to inline.
     """
-    dist = materialize(seeds.select("vertex", "pivot", F.lit(0).cast("long").alias("dist")))
-    frontier = dist
-    d = 0
-    while True:
-        d += 1
-        nxt = (
-            frontier.join(sym, frontier.vertex == sym[SRC])
-            .select(F.col(DST).alias("vertex"), "pivot")
-            .distinct()
-        )
-        new = materialize(
-            nxt.join(dist, ["vertex", "pivot"], "left_anti")
-            .withColumn("dist", F.lit(d).cast("long"))
-        )
-        if new.isEmpty():
-            return dist
-        # materialize the growing union each level: the anti-join above
-        # re-scans `dist` every level, so a lazy diameter-deep union
-        # chain would be re-executed per level AND blow up Catalyst
-        # analysis on 10^4-diameter graphs
-        dist = materialize(dist.unionByName(new))
-        frontier = new
+    from webgraph_algo_rs_spark.operators.bfs import bfs_distances
+
+    out = bfs_distances(sym, seeds.select(F.col("pivot").alias("source")))
+    return out.select(
+        "vertex", F.col("source").alias("pivot"), F.col("distance").alias("dist")
+    )
 
 
 def eccentricities(

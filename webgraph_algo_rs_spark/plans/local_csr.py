@@ -12,9 +12,10 @@ superstep, zero shuffles, zero per-superstep driver barriers.
 This mirrors the classic engine dichotomy (broadcast-hash vs
 shuffle-hash join): the *logical* operator is identical, the planner
 picks the physical strategy by size. The threshold is deliberately
-conservative (default 2M edges ≈ tens of MB of int64 arrays — far
-below executor memory) so that anything near cluster scale takes the
-distributed path; at 100 TB the local path is only ever reached by
+conservative (default 8M edges ≈ 128 MB of int64 arrays — far below
+one executor's memory, and ~2 orders of magnitude under what a 4 GiB
+worker could actually hold) so that anything near cluster scale takes
+the distributed path; at 100 TB the local path is only ever reached by
 per-component / per-SCC sub-problems, where it converts thousands of
 driver-coordinated supersteps into one task.
 
@@ -41,11 +42,14 @@ from typing import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from webgraph_algo_rs_spark.plans.superstep import SRC, DST, W, materialize
 
 LOCAL_KERNEL_MAX_EDGES_CONF = "wga.localKernelMaxEdges"
-LOCAL_KERNEL_MAX_EDGES_DEFAULT = 2_000_000
+LOCAL_KERNEL_MAX_EDGES_DEFAULT = 8_000_000
+LOCAL_BFS_MAX_SOURCES_CONF = "wga.localBfsMaxSources"
+LOCAL_BFS_MAX_SOURCES_DEFAULT = 512
 
 
 def local_kernel_threshold(spark) -> int:
@@ -100,6 +104,33 @@ def _vertex_index(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndar
     """``(vertices_sorted, src_idx, dst_idx)`` — dense 0..nv-1 ids."""
     verts = np.unique(np.concatenate([src, dst]))
     return verts, np.searchsorted(verts, src), np.searchsorted(verts, dst)
+
+
+def _csr(src_i: np.ndarray, dst_i: np.ndarray, nv: int) -> tuple[np.ndarray, np.ndarray]:
+    """``(indptr, indices)`` adjacency over dense ids 0..nv-1."""
+    order = np.argsort(src_i, kind="stable")
+    indices = dst_i[order]
+    indptr = np.zeros(nv + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src_i, minlength=nv), out=indptr[1:])
+    return indptr, indices
+
+
+def _gather(
+    indptr: np.ndarray, indices: np.ndarray, frontier: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All out-neighbors of ``frontier``: ``(neigh_idx, rep_pos)`` where
+    ``rep_pos[i]`` is the position in ``frontier`` that discovered
+    ``neigh_idx[i]`` (vectorized CSR range expansion, no Python loop)."""
+    starts = indptr[frontier]
+    cnts = indptr[frontier + 1] - starts
+    tot = int(cnts.sum())
+    if tot == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    rep_pos = np.repeat(np.arange(len(frontier), dtype=np.int64), cnts)
+    offs = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cnts) - cnts, cnts)
+    neigh = indices[np.repeat(starts, cnts) + offs]
+    return neigh, rep_pos
 
 
 def pagerank_kernel(
@@ -173,6 +204,390 @@ def cc_kernel(max_iter: int) -> Callable[[pd.DataFrame], pd.DataFrame]:
         )
 
     return kernel
+
+
+_EMIT_ROWS = 500_000  # buffered kernel output rows per Arrow batch
+
+
+def bfs_local(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    predecessors: bool,
+    vertex_filter: DataFrame | None,
+) -> DataFrame:
+    """Local-CSR form of ``operators.bfs.bfs_distances``: every flood
+    runs level-synchronously inside ONE ``mapInPandas`` task — one Spark
+    job total instead of one join+agg+localCheckpoint barrier *per BFS
+    level per call* (the directed-ESS profile: ~90-level floods ×
+    ~0.5 s/level × dozens of sweep rounds).
+
+    All three inputs ride one union-encoded frame (``role``: 0 = edge
+    ``(a=src, b=dst)``, 1 = source ``(a=s)``, 2 = filter row — per-flood
+    ``(a=source, b=vertex)`` or global ``(b=vertex)``), so nothing is
+    collected to the driver and ``coalesce(1)`` merges partitions
+    without a shuffle. Semantics mirror the distributed loop exactly:
+    filter applied at discovery time *including sources*, unreached
+    vertices absent, ``pred`` = minimum discovering predecessor.
+    """
+    per_source = vertex_filter is not None and "source" in vertex_filter.columns
+    parts = [
+        edges.select(
+            F.lit(0).cast("tinyint").alias("role"),
+            F.col(SRC).cast("long").alias("a"),
+            F.col(DST).cast("long").alias("b"),
+        ),
+        sources.select(
+            F.lit(1).cast("tinyint").alias("role"),
+            F.col("source").cast("long").alias("a"),
+            F.col("source").cast("long").alias("b"),
+        ),
+    ]
+    if vertex_filter is not None:
+        parts.append(
+            vertex_filter.select(
+                F.lit(2).cast("tinyint").alias("role"),
+                (F.col("source") if per_source else F.col("vertex"))
+                .cast("long")
+                .alias("a"),
+                F.col("vertex").cast("long").alias("b"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    schema = "source bigint, vertex bigint, distance bigint" + (
+        ", pred bigint" if predecessors else ""
+    )
+    kernel = bfs_kernel(
+        max_depth, predecessors, vertex_filter is not None, per_source
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts_ = [b for b in batches if len(b)]
+        if not parts_:
+            return
+        pdf = pd.concat(parts_, ignore_index=True) if len(parts_) > 1 else parts_[0]
+        yield from kernel(pdf)
+
+    out = unioned.coalesce(1).mapInPandas(gen, schema=schema)
+    # pin like the distributed path: callers re-join the visited set
+    # (ESS uses each flood several times) — without this every reuse
+    # would re-run the whole kernel
+    return materialize(out)
+
+
+def bfs_kernel(
+    max_depth: int, predecessors: bool, has_filter: bool, per_source: bool
+) -> Callable[[pd.DataFrame], Iterator[pd.DataFrame]]:
+    """Vectorized multi-source BFS over the union-encoded input frame
+    (see :func:`bfs_local`). Yields buffered row batches."""
+
+    def kernel(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        role = pdf["role"].to_numpy(np.int8)
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        em = role == 0
+        e_src, e_dst = a[em], b[em]
+        srcs = np.unique(a[role == 1])
+        fm = role == 2
+        fa, fv = a[fm], b[fm]
+
+        domain = [e_src, e_dst, srcs]
+        if has_filter:
+            domain.append(fv)
+        verts = np.unique(np.concatenate(domain)) if domain else np.empty(0, np.int64)
+        nv = len(verts)
+        indptr, indices = _csr(
+            np.searchsorted(verts, e_src), np.searchsorted(verts, e_dst), nv
+        )
+
+        allowed = None
+        if has_filter and not per_source:
+            allowed = np.zeros(nv, dtype=bool)
+            allowed[np.searchsorted(verts, np.unique(fv))] = True
+        if per_source:
+            fo = np.argsort(fa, kind="stable")
+            fa_s, fv_s = fa[fo], fv[fo]
+
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+
+        def emit(source_id, ids, dists, preds):
+            nonlocal buffered
+            cols = {
+                "source": np.full(len(ids), source_id, dtype=np.int64),
+                "vertex": ids,
+                "distance": dists,
+            }
+            out = pd.DataFrame(cols)
+            if predecessors:
+                pc = pd.array(preds, dtype="Int64")
+                pc[preds < 0] = pd.NA
+                out["pred"] = pc
+            buf.append(out)
+            buffered += len(ids)
+
+        def flush():
+            nonlocal buf, buffered
+            if buf:
+                merged = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                buf, buffered = [], 0
+                return merged
+            return None
+
+        for s in srcs:
+            if per_source:
+                lo = np.searchsorted(fa_s, s, "left")
+                hi = np.searchsorted(fa_s, s, "right")
+                members = np.unique(fv_s[lo:hi])
+                nm = len(members)
+                p = int(np.searchsorted(members, s))
+                if p >= nm or members[p] != s:
+                    continue  # seed outside its own filter → dropped
+                mi = np.searchsorted(verts, members)  # local → global idx
+                dist = np.full(nm, -1, dtype=np.int64)
+                pred = np.full(nm, -1, dtype=np.int64)
+                dist[p] = 0
+                frontier = np.array([p], dtype=np.int64)
+                for depth in range(1, max_depth + 1):
+                    neigh, rep = _gather(indptr, indices, mi[frontier])
+                    if neigh.size == 0:
+                        break
+                    nid = verts[neigh]
+                    pos = np.minimum(np.searchsorted(members, nid), nm - 1)
+                    m = (members[pos] == nid) & (dist[pos] < 0)
+                    cand, repv = pos[m], frontier[rep[m]]
+                    if cand.size == 0:
+                        break
+                    # min-predecessor claim: members sorted ascending ⇒
+                    # min local idx ≡ min original id (the distributed
+                    # F.min("pv") rule)
+                    o = np.lexsort((repv, cand))
+                    cs, rs = cand[o], repv[o]
+                    newv, fi = np.unique(cs, return_index=True)
+                    dist[newv] = depth
+                    pred[newv] = rs[fi]
+                    frontier = newv
+                reached = dist >= 0
+                pr = pred[reached]
+                emit(
+                    s,
+                    members[reached],
+                    dist[reached],
+                    np.where(pr >= 0, members[np.maximum(pr, 0)], -1),
+                )
+            else:
+                si = int(np.searchsorted(verts, s))
+                if allowed is not None and not allowed[si]:
+                    continue
+                dist = np.full(nv, -1, dtype=np.int64)
+                pred = np.full(nv, -1, dtype=np.int64)
+                dist[si] = 0
+                frontier = np.array([si], dtype=np.int64)
+                for depth in range(1, max_depth + 1):
+                    neigh, rep = _gather(indptr, indices, frontier)
+                    if neigh.size == 0:
+                        break
+                    m = dist[neigh] < 0
+                    if allowed is not None:
+                        m &= allowed[neigh]
+                    cand, repv = neigh[m], frontier[rep[m]]
+                    if cand.size == 0:
+                        break
+                    o = np.lexsort((repv, cand))
+                    cs, rs = cand[o], repv[o]
+                    newv, fi = np.unique(cs, return_index=True)
+                    dist[newv] = depth
+                    pred[newv] = rs[fi]
+                    frontier = newv
+                reached = dist >= 0
+                pr = pred[reached]
+                emit(
+                    s,
+                    verts[reached],
+                    dist[reached],
+                    np.where(pr >= 0, verts[np.maximum(pr, 0)], -1),
+                )
+            if buffered >= _EMIT_ROWS:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return kernel
+
+
+def hyperball_local(
+    edges: DataFrame,
+    node_weights: DataFrame | None,
+    params,
+    max_iter: int,
+    rel_threshold: float | None,
+    discount,
+) -> DataFrame:
+    """Local-CSR HyperBall (see ``operators/hyperball.py`` for the
+    distributed plan and the reference contract): the whole systolic
+    max-merge loop runs inside ONE ``mapInPandas`` task over a
+    ``(nv, m)`` uint8 register matrix — grouped ``np.maximum.reduceat``
+    per superstep on the delta-frontier edge subset, zero shuffles.
+
+    Bit-parity with the distributed loop: register content after
+    max-merges is order-independent integers, estimates and the
+    per-vertex delta accumulators are the same scalar float ops in the
+    same per-superstep order, and the stop rules (no register changed /
+    relative NF increment) read the same integer/ratio signals — so
+    iteration counts and all output columns agree exactly (pinned by
+    ``tests/test_hyperball.py::test_hyperball_local_matches_distributed``).
+
+    Returns the centrality frame plus bookkeeping columns
+    ``iterations`` (every row) and ``nf`` (non-null on one row only —
+    the monotone-clamped neighbourhood function).
+    """
+    has_w = node_weights is not None
+    parts = [
+        edges.select(
+            F.lit(0).cast("tinyint").alias("role"),
+            F.col(SRC).cast("long").alias("a"),
+            F.col(DST).cast("long").alias("b"),
+        )
+    ]
+    if has_w:
+        parts.append(
+            node_weights.select(
+                F.lit(1).cast("tinyint").alias("role"),
+                F.col("vertex").cast("long").alias("a"),
+                F.col("weight").cast("long").alias("b"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    schema = (
+        "vertex bigint, reachable double, sum_distances double, closeness double,"
+        " harmonic double, lin double, nieminen double"
+        + (", discounted double" if discount is not None else "")
+        + ", iterations int, nf array<double>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts_ = [bt for bt in batches if len(bt)]
+        if not parts_:
+            return
+        pdf = pd.concat(parts_, ignore_index=True) if len(parts_) > 1 else parts_[0]
+        role = pdf["role"].to_numpy(np.int8)
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        em = role == 0
+        e_src_raw, e_dst_raw = a[em], b[em]
+        # vertex set from the RAW edges (a self-loop-only vertex still
+        # has ball {v}); the message edges drop self-loops (no-op for
+        # max-merge) — same as the distributed arcs distinct+filter
+        verts = np.unique(np.concatenate([e_src_raw, e_dst_raw]))
+        nv = len(verts)
+        if nv == 0:
+            return
+        keep = e_src_raw != e_dst_raw
+        src_i = np.searchsorted(verts, e_src_raw[keep])
+        dst_i = np.searchsorted(verts, e_dst_raw[keep])
+
+        m = params.m
+        if has_w:
+            wmap = np.ones(nv, dtype=np.int64)
+            wv = np.searchsorted(verts, a[role == 1])
+            inb = (wv < nv) & (verts[np.minimum(wv, nv - 1)] == a[role == 1])
+            wmap[wv[inb]] = np.maximum(b[role == 1][inb], 0)
+            regs = params.empty(nv)
+            rows = np.repeat(np.arange(nv), wmap)
+            # weight_i distinct synthetic elements per node:
+            # (vertex << 24) + k — identical to the distributed
+            # init_weighted (operators/hyperball.py)
+            base = np.repeat(verts, wmap) * np.int64(1 << 24)
+            csum = np.concatenate(([0], np.cumsum(wmap)[:-1]))
+            k = np.arange(rows.size, dtype=np.int64) - np.repeat(csum, wmap)
+            params.add_multi(regs, rows, base + k)
+        else:
+            regs = params.singletons(verts)
+        est = params.estimate(regs)
+        sum_d = np.zeros(nv)
+        sum_inv_d = np.zeros(nv)
+        sum_disc = np.zeros(nv)
+        changed_mask = np.ones(nv, dtype=bool)
+        nf = [float(est.sum())]
+        it = 0
+        # group chunk: bounds the (edges-in-chunk, m) gather to roughly
+        # GCH average-degree rows of m bytes
+        GCH = 65_536
+        for it in range(1, max_iter + 1):
+            sel = changed_mask[dst_i]
+            s, d = src_i[sel], dst_i[sel]
+            if s.size == 0:
+                touched = np.empty(0, dtype=np.int64)
+            else:
+                o = np.argsort(s, kind="stable")
+                s, d = s[o], d[o]
+                heads = np.flatnonzero(
+                    np.concatenate(([True], s[1:] != s[:-1]))
+                )
+                touched = s[heads]
+                msg = np.empty((len(heads), m), dtype=np.uint8)
+                for gi in range(0, len(heads), GCH):
+                    lo = heads[gi]
+                    hi = heads[gi + GCH] if gi + GCH < len(heads) else len(s)
+                    msg[gi : gi + GCH] = np.maximum.reduceat(
+                        regs[d[lo:hi]], heads[gi : gi + GCH] - lo, axis=0
+                    )
+            t = float(it)
+            if touched.size:
+                old = regs[touched]
+                new = np.maximum(old, msg)
+                diff = (new != old).any(axis=1)
+                est_t = params.estimate(new)
+                delta = np.maximum(est_t - est[touched], 0.0)
+                sum_d[touched] += delta * t
+                sum_inv_d[touched] += delta / t
+                if discount is not None:
+                    sum_disc[touched] += delta * float(discount(it))
+                regs[touched] = new
+                est[touched] = est_t
+                changed_mask = np.zeros(nv, dtype=bool)
+                changed_mask[touched[diff]] = True
+                n_changed = int(diff.sum())
+            else:
+                changed_mask = np.zeros(nv, dtype=bool)
+                n_changed = 0
+            nf.append(max(float(est.sum()), nf[-1]))
+            if n_changed == 0:
+                break
+            if (
+                rel_threshold is not None
+                and it > 3
+                and nf[-2] > 0
+                and nf[-1] / nf[-2] < 1.0 + rel_threshold
+            ):
+                break
+        count2 = est * est
+        out = {
+            "vertex": verts,
+            "reachable": est,
+            "sum_distances": sum_d,
+            "closeness": np.where(sum_d == 0.0, 0.0, 1.0 / np.where(sum_d == 0.0, 1.0, sum_d)),
+            "harmonic": sum_inv_d,
+            "lin": np.where(sum_d == 0.0, 1.0, count2 / np.where(sum_d == 0.0, 1.0, sum_d)),
+            "nieminen": count2 - sum_d,
+        }
+        if discount is not None:
+            out["discounted"] = sum_disc
+        pdf_out = pd.DataFrame(out)
+        pdf_out["iterations"] = np.int32(it)
+        nf_col = [None] * nv
+        nf_col[0] = nf
+        pdf_out["nf"] = nf_col
+        yield pdf_out
+
+    return materialize(unioned.coalesce(1).mapInPandas(gen, schema=schema))
 
 
 def lpa_kernel(max_iter: int) -> Callable[[pd.DataFrame], pd.DataFrame]:
