@@ -348,6 +348,29 @@ def q_bfs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, [int(source)]).select("vertex", "distance")
 
 
+def q_dfs_tree_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential DFS forest (SURVEY §2 T4, reference
+    `depth_first/seq.rs:319-382`) over a deterministic 3-ary tree whose
+    size both engines derive from the events row count. On a tree the
+    visit order is SQL-expressible — preorder sorts zero-padded root
+    paths, postorder sorts the same paths with a high sentinel appended
+    (descendants sort before their ancestor) — which gives the
+    inherently sequential operator a hash-matched oracle; general-digraph
+    parity is pinned in tests/test_dfs.py against a pure-Python replay."""
+    from webgraph_algo_rs_spark.operators import dfs_forest
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    n = min(load_table(spark, sf_dir, "events").count(), 4095)
+    edges = spark.range(1, n).select(
+        F.floor((F.col("id") - 1) / 3).cast("long").alias("src_vertex"),
+        F.col("id").cast("long").alias("dst_vertex"),
+        F.lit(1.0).alias("weight"),
+    )
+    return dfs_forest(edges).select(
+        "vertex", "root", "parent", "depth", "pre", "post"
+    )
+
+
 def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration form (tol=0, 30 supersteps) so the DuckDB
     recursive-CTE oracle replays the identical computation; the
@@ -898,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_vertex_events": q_triangles_vertex_events,
         "top_inweight_events": q_top_inweight_events,
         "bfs_events": q_bfs_events,
+        "dfs_tree_events": q_dfs_tree_events,
         "pagerank_events": q_pagerank_events,
         "lpa_events": q_lpa_events,
         "edges_cust_supp": q_edges_cust_supp,
@@ -1046,6 +1070,30 @@ SELECT vertex, in_weight FROM iw ORDER BY in_weight DESC, vertex LIMIT 10
   WHERE r.d < 300
 )
 SELECT v AS vertex, CAST(min(d) AS BIGINT) AS distance FROM r GROUP BY v
+""",
+        # DFS over the derived 3-ary tree (see q_dfs_tree_events):
+        # preorder = rank of the zero-padded root path; postorder = rank
+        # of the path with a '~' sentinel appended, which sorts every
+        # descendant (digit < '~') before its ancestor
+        "dfs_tree_events": """
+WITH RECURSIVE nn AS (
+  SELECT LEAST((SELECT COUNT(*) FROM events), 4095) AS n
+),
+t(v, path, depth) AS (
+  SELECT CAST(0 AS BIGINT), lpad('0', 6, '0'), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 3 * t.v + k.j, t.path || lpad(CAST(3 * t.v + k.j AS VARCHAR), 6, '0'),
+         t.depth + 1
+  FROM t, (VALUES (1), (2), (3)) AS k(j), nn
+  WHERE 3 * t.v + k.j < nn.n
+)
+SELECT v AS vertex,
+       CAST(0 AS BIGINT) AS root,
+       CASE WHEN v = 0 THEN NULL ELSE (v - 1) // 3 END AS parent,
+       depth,
+       CAST(ROW_NUMBER() OVER (ORDER BY path) - 1 AS BIGINT) AS pre,
+       CAST(ROW_NUMBER() OVER (ORDER BY path || '~') - 1 AS BIGINT) AS post
+FROM t
 """,
         "scc_events": _EG + """
 , reach(s, d) AS (

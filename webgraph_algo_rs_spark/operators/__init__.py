@@ -10,6 +10,7 @@ from webgraph_algo_rs_spark.operators.triangles import (  # noqa: F401
     triangle_count_per_vertex,
 )
 from webgraph_algo_rs_spark.operators.bfs import bfs_distances  # noqa: F401
+from webgraph_algo_rs_spark.operators.dfs import dfs_forest  # noqa: F401
 from webgraph_algo_rs_spark.operators.topsort import kahn_layers, is_acyclic  # noqa: F401
 from webgraph_algo_rs_spark.operators.hyperball import (  # noqa: F401
     hyperball,
