@@ -273,7 +273,11 @@ def bfs_local(
     out = unioned.coalesce(1).mapInPandas(gen, schema=schema)
     # pin like the distributed path: callers re-join the visited set
     # (ESS uses each flood several times) — without this every reuse
-    # would re-run the whole kernel
+    # would re-run the whole kernel. Measured negative result: inserting
+    # repartition(shuffle.partitions) here to parallelize downstream
+    # exchanges made cnr-2000 ESS rounds ~60% SLOWER (the serial
+    # reshuffle of a ~12M-row flood costs more than the single-partition
+    # exchange maps it replaces) — keep the output single-partition.
     return materialize(out)
 
 
