@@ -249,6 +249,26 @@ def test_cosine_topk_ivf_recall(vectors):
     assert (0, 1) in approx
 
 
+def test_cosine_topk_ivf_kernel_matches_expression_path(vectors):
+    """The cogrouped Arrow re-rank kernel (vectorized=True, the default)
+    must produce exactly the rows of the pair-at-a-time expression path:
+    same candidates (per-list top-k covers the global top-k because each
+    pair meets in exactly one list), same tie order (cosine desc,
+    neighbor_id asc via stable argsort over id-sorted members), and the
+    self-match masked. Exercised with n_probe == n_lists so every query
+    scores every list, including its own (the self-mask path)."""
+    from webgraph_algo_rs_spark.functions.similarity import cosine_topk_ivf
+
+    df, _ = vectors
+    for n_lists, n_probe, k in [(4, 2, 3), (4, 4, 3), (3, 1, 25)]:
+        fast = cosine_topk_ivf(df, k=k, n_lists=n_lists, n_probe=n_probe).collect()
+        slow = cosine_topk_ivf(
+            df, k=k, n_lists=n_lists, n_probe=n_probe, vectorized=False
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+        assert sorted(map(key, fast)) == sorted(map(key, slow)), (n_lists, n_probe, k)
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (0, "image", bytearray(b"\x89PNG" + b"x" * 2048), 64, 64, None),

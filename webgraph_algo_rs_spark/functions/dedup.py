@@ -136,6 +136,17 @@ def lsh_candidate_pairs(
             F.min(id_col).alias(id_col),
             F.min(text_col).alias(text_col),
         ).drop("_text_hash")
+        # AQE sizes the post-dedup stage by shuffle BYTES, but the
+        # signature projection downstream is CPU-bound (~1 ms/doc of
+        # shingle+md5 work on ~300-byte rows): a small corpus coalesces
+        # to one task and serializes the whole MinHash stage (measured
+        # 5 s → 0.8 s at 32-way on the sf0.1 bench). The explicit
+        # numPartitions pins the width against AQE coalescing; the
+        # round-robin exchange moves only the deduped canonicals and is
+        # ~1000× cheaper than the per-row signature work it spreads out.
+        docs = docs.repartition(
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_n)
     banded = sigs.select(
         "doc_id",
