@@ -231,13 +231,28 @@ def test_bucketized_variants_match(spark, tmp_path):
         (label_propagation, "label"),
     ):
         a = {r.vertex: r[key] for r in fn(edges).collect()}
-        b = {r.vertex: r[key] for r in fn(edges, bucketize_edges=True).collect()}
-        assert a == b, fn.__name__
+        for store in ("cached", "table"):
+            b = {
+                r.vertex: r[key]
+                for r in fn(
+                    edges, bucketize_edges=True, edge_store=store
+                ).collect()
+            }
+            assert a == b, (fn.__name__, store)
     pa = {r.vertex: r.rank for r in pagerank(edges).collect()}
-    pb = {r.vertex: r.rank for r in pagerank(edges, bucketize_edges=True).collect()}
-    assert set(pa) == set(pb)
-    for v in pa:
-        assert pa[v] == _pytest.approx(pb[v], abs=1e-12)
+    # both physical edge stores of the big-graph path (pin_edges): the
+    # block-manager cache (what "auto" picks at benchmark scale) and
+    # the bucketed+sorted table (the 10^12-edge scale path)
+    for store in ("cached", "table"):
+        pb = {
+            r.vertex: r.rank
+            for r in pagerank(
+                edges, bucketize_edges=True, edge_store=store
+            ).collect()
+        }
+        assert set(pa) == set(pb), store
+        for v in pa:
+            assert pa[v] == _pytest.approx(pb[v], abs=1e-12), store
 
 
 def test_deep_chain_bounded_plans(spark):

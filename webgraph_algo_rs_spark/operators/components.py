@@ -31,7 +31,7 @@ from webgraph_algo_rs_spark.checkpoint import CheckpointManager
 from webgraph_algo_rs_spark.plans.superstep import (
     SRC,
     DST,
-    bucketize,
+    pin_edges,
     graph_vertices,
     materialize,
     symmetrize,
@@ -46,11 +46,14 @@ def connected_components(
     bucketize_edges: bool = False,
     block_size: int | None = None,
     local_mode: bool | None = None,
+    edge_store: str = "auto",
 ) -> DataFrame:
     """Returns ``(vertex:bigint, component:bigint)`` on the symmetrized graph.
 
-    ``bucketize_edges``: big-graph path — persist the symmetrized arcs
-    bucketed on ``src`` once so each superstep shuffles only labels.
+    ``bucketize_edges``: big-graph path — pin the symmetrized arcs on
+    ``src`` once (block-manager cache / bucketed table / auto — see
+    ``pin_edges``; ``edge_store`` selects) so each superstep shuffles
+    only labels.
     ``block_size``: min-supersteps chained per Spark action (the
     PageRank blocked-loop pattern, `pagerank.py:233-336` — per-round
     driver latency dominates the small-graph path at ~50 supersteps ×
@@ -104,7 +107,9 @@ def connected_components(
     sym_plan = symmetrize(edges).select(SRC, DST)
     drop_bucketed = None
     if bucketize_edges:
-        sym, drop_bucketed = bucketize(sym_plan, SRC, table_name="wga_cc_edges")
+        sym, drop_bucketed = pin_edges(
+            sym_plan, SRC, table_name="wga_cc_edges", store=edge_store
+        )
     else:
         sym = materialize(sym_plan)
 

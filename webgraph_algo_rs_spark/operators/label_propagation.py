@@ -25,7 +25,7 @@ from webgraph_algo_rs_spark.plans.superstep import (
     SRC,
     DST,
     W,
-    bucketize,
+    pin_edges,
     graph_vertices,
     materialize,
     symmetrize,
@@ -40,11 +40,14 @@ def label_propagation(
     bucketize_edges: bool = False,
     block_size: int | None = None,
     local_mode: bool | None = None,
+    edge_store: str = "auto",
 ) -> DataFrame:
     """Returns ``(vertex:bigint, label:bigint)``.
 
-    ``bucketize_edges``: big-graph path — persist the symmetrized arcs
-    bucketed on ``src`` once so each superstep shuffles only labels.
+    ``bucketize_edges``: big-graph path — pin the symmetrized arcs on
+    ``src`` once (block-manager cache / bucketed table / auto — see
+    ``pin_edges``; ``edge_store`` selects) so each superstep shuffles
+    only labels.
     ``block_size``: majority-vote supersteps chained per Spark action
     (the PageRank blocked-loop pattern, `pagerank.py:233-336`); default
     4 when unset; clamped to 1 with ``checkpoint`` or
@@ -94,8 +97,8 @@ def label_propagation(
         block_size = 4
     drop_bucketed = None
     if bucketize_edges:
-        sym, drop_bucketed = bucketize(
-            symmetrize(edges), SRC, table_name="wga_lpa_edges"
+        sym, drop_bucketed = pin_edges(
+            symmetrize(edges), SRC, table_name="wga_lpa_edges", store=edge_store
         )
     else:
         sym = materialize(symmetrize(edges))

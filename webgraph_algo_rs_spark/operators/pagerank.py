@@ -41,9 +41,9 @@ from webgraph_algo_rs_spark.plans.superstep import (
     SRC,
     DST,
     W,
-    bucketize,
     graph_vertices,
     materialize,
+    pin_edges,
 )
 
 
@@ -58,6 +58,7 @@ def pagerank(
     lineage_cut_every: int = 6,
     block_size: int | None = None,
     local_mode: bool | None = None,
+    edge_store: str = "auto",
 ) -> DataFrame:
     """Returns ``(vertex:bigint, rank:double)``; ranks sum to 1.
 
@@ -75,6 +76,9 @@ def pagerank(
     ``None`` auto-picks it for graphs under ``wga.localKernelMaxEdges``
     edges when no other physical strategy was requested (no checkpoint,
     no bucketizing, no explicit ``block_size``).
+    ``edge_store``: physical store of the pinned edge table on the
+    big-graph path — ``"cached"`` / ``"table"`` / ``"auto"`` (see
+    :func:`~webgraph_algo_rs_spark.plans.superstep.pin_edges`).
     """
     spark = edges.sparkSession
     edges = edges.select(SRC, DST, W)
@@ -129,10 +133,17 @@ def pagerank(
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     drop_bucketed = None
     if bucketize_edges:
-        # big-graph path: pay one bucketed write so every superstep
-        # shuffles only the rank vector, never the edge table
-        norm_edges, drop_bucketed = bucketize(
-            norm_plan, SRC, n_buckets=n_buckets, table_name="wga_pr_edges"
+        # big-graph path: pin the edge table on src once (block-manager
+        # cache when it fits, bucketed+sorted table at 10^12-edge scale
+        # — see pin_edges) so every superstep shuffles only the rank
+        # vector, never the edge table
+        norm_edges, drop_bucketed = pin_edges(
+            norm_plan,
+            SRC,
+            n_buckets=n_buckets,
+            table_name="wga_pr_edges",
+            store=edge_store,
+            probe_df=edges,
         )
     else:
         # small-graph partition sizing: the reducer side is coalesced by

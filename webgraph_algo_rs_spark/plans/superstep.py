@@ -262,6 +262,62 @@ def bucketize(
     return spark.table(table_name), drop
 
 
+def pin_edges(
+    df: DataFrame,
+    key: str,
+    n_buckets: int = 64,
+    table_name: str = "wga_bucketed_edges",
+    store: str = "auto",
+    probe_df: DataFrame | None = None,
+) -> tuple[DataFrame, Callable[[], None]]:
+    """Pin the constant edge side of a fixpoint loop on ``key`` so each
+    superstep shuffles only the state. Two physical stores:
+
+    * ``"cached"`` — ``repartition(n_buckets, key)`` + block-manager
+      persist (``MEMORY_AND_DISK``). The scatter join is still
+      exchange-free on the edge side, and every superstep scans the
+      edges from executor memory instead of re-reading + re-decoding
+      parquet. The join becomes a per-superstep sort (SMJ) or hash
+      build (SHJ) of in-memory rows — measured faster than the bucketed
+      scan whenever the edges actually fit (probe:
+      ``tools/pr_superstep_probe.py``).
+    * ``"table"`` — bucketed+sorted table via :func:`bucketize`: the
+      10^12-edge path, where no cluster holds the edges in RAM and the
+      pre-sorted buckets let every superstep's SMJ skip the edge-side
+      sort entirely.
+    * ``"auto"`` — ``cached`` when the edge count probes at or under
+      ``wga.cachedEdgesMaxEdges`` (default 1e9 — ~50 GB of (long, long,
+      double) rows across a cluster's block managers; far below any
+      100 TB corpus, far above every single-node benchmark), else
+      ``table``. The probe is a ``limit(thr+1).count()`` — over
+      ``probe_df`` when given (callers pass the raw scan when ``df``
+      itself is a row-preserving join plan) — so the decision never
+      scans more than the threshold.
+
+    Returns ``(edges_df, release)``; call ``release()`` after the
+    result is materialized off the edge table's lineage.
+    """
+    if store == "auto":
+        thr = int(
+            df.sparkSession.conf.get("wga.cachedEdgesMaxEdges", "1000000000")
+        )
+        store = (
+            "cached"
+            if (probe_df if probe_df is not None else df).limit(thr + 1).count()
+            <= thr
+            else "table"
+        )
+    if store == "table":
+        return bucketize(df, key, n_buckets, table_name)
+    if store != "cached":
+        raise ValueError(f"unknown edge store {store!r}")
+    from pyspark.storagelevel import StorageLevel
+
+    pinned = df.repartition(n_buckets, key).persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    return pinned, lambda: pinned.unpersist()
+
+
 def salted_agg(
     msgs: DataFrame,
     key_col: str,
