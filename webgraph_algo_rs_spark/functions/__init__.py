@@ -17,3 +17,12 @@ from webgraph_algo_rs_spark.functions.similarity import (  # noqa: F401
     cosine_topk_lsh,
     embedding_near_dup_pairs,
 )
+from webgraph_algo_rs_spark.functions.multimodal import (  # noqa: F401
+    decode_builtin,
+    extract_media_features,
+    media_metadata,
+    probe_gated_features,
+    probe_media,
+    resize_media,
+    transcode_media,
+)

@@ -13,11 +13,17 @@ Decode status (round-4 decision, VERDICT r3 §next №8):
   dequantize + IDCT, chroma-subsampled MCU walk; gray = the Y plane)
   to pixel / sample arrays, then extracts grid-mean image features /
   windowed-RMS audio features — pure numpy + stdlib, no external codec.
-* **Declared stubs** only where a full codec stack genuinely starts:
-  progressive JPEG (SOF2) raises ``NotImplementedError``, and
-  ``resize_stub`` marks the re-*encode* boundary. ``_fake_decode``
-  (the default for :func:`extract_media_features`) remains available
-  as the deterministic stand-in for schema/plumbing tests.
+* **REAL re-encode** as well: :func:`encode_bmp` / :func:`encode_wav`
+  write uncompressed BMP / 16-bit PCM WAV bytes, so
+  :func:`resize_media` (decode → mean-pool / resample → re-encode) and
+  the distributed :func:`transcode_media` are fully functional with no
+  external codec — transcode normalizes every probed format to the
+  uncompressed container.
+* **Declared stub** only where a full codec stack genuinely starts:
+  progressive JPEG (SOF2) raises ``NotImplementedError``.
+  ``_fake_decode`` (the default for :func:`extract_media_features`)
+  remains available as the deterministic stand-in for schema/plumbing
+  tests.
 """
 
 from __future__ import annotations
@@ -79,13 +85,116 @@ def extract_media_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """Placeholder for the *re-encode* path (resize → compressed bytes);
-    decoded-array resize is real — see :func:`grid_mean_resize`."""
-    raise NotImplementedError(
-        "re-encoding resized images requires an encoder (Pillow/libvips) — "
-        "decode + array-space resize is available via decode_builtin/"
-        "grid_mean_resize; plug an encoder to write bytes back"
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Grayscale array ``(h, w)`` → uncompressed 24-bit BMP bytes
+    (gray replicated into BGR, rows 4-byte padded, bottom-up — the
+    exact layout :func:`_decode_bmp` reads back). Values are clipped
+    to [0, 255] and rounded, so uint8-valued inputs round-trip
+    bit-exactly through encode → decode."""
+    h, w = img.shape
+    g = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = np.repeat(g, 3, axis=1)  # B=G=R=gray
+    pix = rows[::-1].tobytes()  # bottom-up storage
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB, uncompressed
+        + len(pix).to_bytes(4, "little")
+        + b"\x13\x0b\x00\x00" * 2  # 2835 ppm ≈ 72 dpi
+        + b"\x00\x00\x00\x00" * 2
+    )
+    return header + pix
+
+
+def encode_wav(x: np.ndarray, rate: int) -> bytes:
+    """Mono float samples in [-1, 1] → 16-bit PCM WAV bytes via the
+    stdlib ``wave`` module (the same module :func:`_decode_wav` reads
+    with, so the pair round-trips to within int16 quantization)."""
+    import io
+    import wave
+
+    pcm = np.clip(np.rint(np.asarray(x, dtype=np.float64) * 32767.0), -32768, 32767)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def resize_media(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize + re-encode, stdlib/numpy only: decode any probed
+    image format (BMP/PNG/GIF/baseline JPEG), mean-pool onto the target
+    ``height × width`` grid, re-encode as uncompressed BMP. WAV payloads
+    are resampled to ``width`` frames by linear interpolation and
+    re-encoded as 16-bit PCM WAV (``height`` is ignored for audio).
+    Normalizing transcode output to the uncompressed container is the
+    standard pipeline choice — downstream stages get one predictable
+    format regardless of what arrived."""
+    fmt, _, _, _ = probe_media(payload)
+    if fmt == "wav":
+        x, rate = _decode_wav(payload)
+        n = max(int(width), 1)
+        pos = np.linspace(0, len(x) - 1, n) if len(x) > 1 else np.zeros(n)
+        return encode_wav(np.interp(pos, np.arange(len(x)), x), rate)
+    if fmt == "bmp":
+        img = _decode_bmp(payload)
+    elif fmt == "png":
+        img = _decode_png(payload)
+    elif fmt == "gif":
+        img = _decode_gif(payload)
+    elif fmt == "jpeg":
+        img = _decode_jpeg(payload)
+    else:
+        raise NotImplementedError(f"no built-in decoder for {fmt or 'unknown'}")
+    return encode_bmp(grid_mean_resize(img, max(int(height), 1), max(int(width), 1)))
+
+
+TRANSCODE_SCHEMA = (
+    "media_id bigint, kind string, payload binary, width int, height int"
+)
+
+
+def transcode_media(media: DataFrame, width: int, height: int) -> tuple[DataFrame, DataFrame]:
+    """Distributed resize/re-encode: probe-gate every asset (corrupt or
+    mislabeled payloads land in the quarantine frame, identical routing
+    to :func:`probe_gated_features`), then ``mapInPandas`` the survivors
+    through :func:`resize_media` one Arrow batch at a time — payload
+    bytes never touch the driver, and the output partitioning is the
+    input's (narrow transformation, no shuffle). Returns
+    ``(transcoded, quarantine)``."""
+    from pyspark.sql import functions as F
+
+    meta = media_metadata(media)
+    ok = media.join(
+        meta.filter("metadata_consistent").select("media_id"), "media_id", "left_semi"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_media(bytes(p), width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "width": np.full(len(out), width, dtype=np.int32),
+                    "height": np.full(len(out), height, dtype=np.int32),
+                }
+            )
+
+    return ok.mapInPandas(run, schema=TRANSCODE_SCHEMA), meta.filter(
+        ~F.col("metadata_consistent")
     )
 
 
@@ -713,11 +822,10 @@ def probe_gated_features(
     quarantine frame with the probe evidence attached.
 
     Returns ``(features, quarantine)``. The decode stage never sees a
-    corrupt or mislabeled payload, so a real decoder plugged into
-    ``decode=`` cannot be crashed by them — the routing is the part this
-    repo ships as real, tested Spark plumbing (the decode kernel itself
-    stays a documented stub until codecs exist in the image;
-    ``_fake_decode``/``resize_stub`` mark that boundary).
+    corrupt or mislabeled payload, so the decoder (the built-in
+    :func:`decode_builtin` or one plugged into ``decode=``) cannot be
+    crashed by them — probe-gating is what makes paying the decode cost
+    safe at ingest scale.
     """
     from pyspark.sql import functions as F
 
