@@ -1025,6 +1025,10 @@ def test_transcode_media_spark(spark):
         "media_id long, kind string, payload binary, width int, height int, duration_ms int",
     )
     out, quarantine = transcode_media(media, 3, 2)
+    # the transcode pipeline must be a single narrow stage: a probe
+    # semi-join would shuffle the payload-carrying table on media_id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
     got = {r["media_id"]: bytes(r["payload"]) for r in out.collect()}
     assert {r["media_id"] for r in quarantine.collect()} == {4}
     assert set(got) == {1, 2, 3}

@@ -166,36 +166,45 @@ TRANSCODE_SCHEMA = (
 
 
 def transcode_media(media: DataFrame, width: int, height: int) -> tuple[DataFrame, DataFrame]:
-    """Distributed resize/re-encode: probe-gate every asset (corrupt or
-    mislabeled payloads land in the quarantine frame, identical routing
-    to :func:`probe_gated_features`), then ``mapInPandas`` the survivors
-    through :func:`resize_media` one Arrow batch at a time — payload
-    bytes never touch the driver, and the output partitioning is the
-    input's (narrow transformation, no shuffle). Returns
-    ``(transcoded, quarantine)``."""
+    """Distributed resize/re-encode. The probe-gate is applied *inline*
+    in the same ``mapInPandas`` pass that resizes (the header probe is a
+    few byte reads; a semi-join against a probe table would shuffle the
+    payload-carrying table on ``media_id`` — the one column move worth
+    avoiding at 100 TB of assets), so the transcode pipeline is a single
+    narrow stage over the scan: no Exchange anywhere, payload bytes
+    never leave their input partition and never touch the driver.
+    The quarantine frame is the independent probe-only pass
+    (:func:`media_metadata` → filter), also narrow, and reading it never
+    pays for a decode. Returns ``(transcoded, quarantine)``."""
     from pyspark.sql import functions as F
-
-    meta = media_metadata(media)
-    ok = media.join(
-        meta.filter("metadata_consistent").select("media_id"), "media_id", "left_semi"
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [resize_media(bytes(p), width, height) for p in pdf["payload"]]
+            ids, kinds, payloads = [], [], []
+            for mid, kind, payload, dw, dh, dms in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"], pdf["duration_ms"],
+            ):
+                raw = bytes(payload)
+                _fmt, _w, _h, _d, ok = _probe_row(raw, dw, dh, dms)
+                if not ok:
+                    continue
+                ids.append(mid)
+                kinds.append(kind)
+                payloads.append(resize_media(raw, width, height))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "payload": out,
-                    "width": np.full(len(out), width, dtype=np.int32),
-                    "height": np.full(len(out), height, dtype=np.int32),
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "kind": kinds,
+                    "payload": payloads,
+                    "width": np.full(len(ids), width, dtype=np.int32),
+                    "height": np.full(len(ids), height, dtype=np.int32),
                 }
             )
 
-    return ok.mapInPandas(run, schema=TRANSCODE_SCHEMA), meta.filter(
-        ~F.col("metadata_consistent")
-    )
+    transcoded = media.mapInPandas(run, schema=TRANSCODE_SCHEMA)
+    quarantine = media_metadata(media).filter(~F.col("metadata_consistent"))
+    return transcoded, quarantine
 
 
 # ------------------------------------------------------------- real decode
@@ -805,6 +814,19 @@ def probe_media(payload: bytes) -> tuple[str | None, int | None, int | None, int
     return (None, None, None, None)
 
 
+def _probe_row(payload: bytes, dw, dh, dms):
+    """Probe one payload and cross-check against declared metadata.
+    Returns ``(format, width, height, duration_ms, consistent)`` —
+    consistent iff the header parses AND every probed dimension that is
+    also declared matches the declaration."""
+    f, w, h, d = probe_media(payload)
+    consistent = f is not None
+    for probed, declared in ((w, dw), (h, dh), (d, dms)):
+        if probed is not None and not pd.isna(declared):
+            consistent = consistent and int(declared) == probed
+    return f, w, h, d, consistent
+
+
 PROBE_SCHEMA = (
     "media_id bigint, kind string, detected_format string, width int, "
     "height int, duration_ms int, metadata_consistent boolean"
@@ -852,15 +874,11 @@ def media_metadata(media: DataFrame) -> DataFrame:
             for payload, dw, dh, dms in zip(
                 pdf["payload"], pdf["width"], pdf["height"], pdf["duration_ms"]
             ):
-                f, w, h, d = probe_media(bytes(payload))
+                f, w, h, d, consistent = _probe_row(bytes(payload), dw, dh, dms)
                 fmt.append(f)
                 ww.append(w)
                 hh.append(h)
                 dd.append(d)
-                consistent = f is not None
-                for probed, declared in ((w, dw), (h, dh), (d, dms)):
-                    if probed is not None and not pd.isna(declared):
-                        consistent = consistent and int(declared) == probed
                 ok.append(consistent)
             yield pd.DataFrame(
                 {
