@@ -930,6 +930,9 @@ def test_probe_gated_real_decode_contract(spark):
         "media_id long, kind string, payload binary, width int, height int, duration_ms int",
     )
     feats, quarantine = probe_gated_features(media, feat_dim=4, decode=decode_builtin)
+    # inline gate: the feature pipeline must not shuffle the payloads
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
     got = {r["media_id"]: r for r in feats.collect()}
     q_ids = {r["media_id"] for r in quarantine.collect()}
     assert q_ids == {4}

@@ -192,6 +192,8 @@ def transcode_media(media: DataFrame, width: int, height: int) -> tuple[DataFram
                 ids.append(mid)
                 kinds.append(kind)
                 payloads.append(resize_media(raw, width, height))
+            if not ids:  # all-quarantined batch: empty ndarray columns
+                continue  # don't Arrow-cast to binary
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="int64"),
@@ -847,16 +849,47 @@ def probe_gated_features(
     corrupt or mislabeled payload, so the decoder (the built-in
     :func:`decode_builtin` or one plugged into ``decode=``) cannot be
     crashed by them — probe-gating is what makes paying the decode cost
-    safe at ingest scale.
+    safe at ingest scale. The gate runs *inline* in the decode pass
+    (header probe = a few byte reads), not as a semi-join against the
+    probe table: a join would shuffle the payload-carrying table on
+    ``media_id``, the one column move to avoid at 100 TB of assets.
+    Both returned frames are single narrow stages over the scan.
     """
     from pyspark.sql import functions as F
 
-    meta = media_metadata(media)
-    ok_ids = meta.filter("metadata_consistent").select("media_id")
-    features = extract_media_features(
-        media.join(ok_ids, "media_id", "left_semi"), feat_dim, decode
-    )
-    quarantine = meta.filter(~F.col("metadata_consistent"))
+    decode = decode or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, nbytes, feats, frames = [], [], [], [], []
+            for mid, kind, payload, dw, dh, dms in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"], pdf["duration_ms"],
+            ):
+                raw = bytes(payload)
+                _fmt, _w, _h, _d, ok = _probe_row(raw, dw, dh, dms)
+                if not ok:
+                    continue
+                f, fr = decode(raw, kind, feat_dim)
+                ids.append(mid)
+                kinds.append(kind)
+                nbytes.append(len(raw))
+                feats.append(f.tolist())
+                frames.append(fr)
+            if not ids:  # all-quarantined batch: empty ndarray columns
+                continue  # don't Arrow-cast to list<float>
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "kind": kinds,
+                    "n_bytes": pd.array(nbytes, dtype="int64"),
+                    "feature": feats,
+                    "frames_sampled": pd.array(frames, dtype="int32"),
+                }
+            )
+
+    features = media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    quarantine = media_metadata(media).filter(~F.col("metadata_consistent"))
     return features, quarantine
 
 
