@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from webgraph_algo_rs_spark.extraction import extract_edges
 from webgraph_algo_rs_spark.sources.transcripts import gen_transcripts
 from webgraph_algo_rs_spark.streaming.transcripts_stream import (
+    conversation_sessions,
+    windowed_turn_stats,
     incremental_edges,
     stream_transcripts,
 )
@@ -194,5 +196,102 @@ def test_corrupt_dictionary_raises_not_silently_rederives(spark):
                 dict_path=dict_dir,
             )
             q.awaitTermination(60)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_windowed_turn_stats_matches_batch_and_drops_late(spark):
+    """Watermarked tumbling windows: finalized windows must equal the
+    batch windowed aggregation over the on-time rows, and a row arriving
+    later than the watermark must be dropped, not double-counted."""
+    import datetime as dt
+
+    tmp = tempfile.mkdtemp(prefix="wga_stream_win_")
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        base = gen_transcripts(spark, 25, seed=42)
+        base.write.mode("append").parquet(in_dir)
+        q = windowed_turn_stats(
+            stream_transcripts(spark, in_dir), out_dir, ckpt,
+            window="1 hour", watermark="2 hours",
+        )
+        q.awaitTermination(120)
+
+        # second drop: one VERY late row (years before the watermark,
+        # which now sits at max(base.ts) - 2h) plus a far-future sentinel
+        # that pushes the watermark past every base window
+        far = dt.datetime(2030, 1, 1, tzinfo=dt.timezone.utc)
+        late = dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+        extra = spark.createDataFrame(
+            [("conv-late", 0, "user", "late row", None, late),
+             ("conv-sentinel", 0, "user", "sentinel", None, far)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        extra.write.mode("append").parquet(in_dir)
+        q2 = windowed_turn_stats(
+            stream_transcripts(spark, in_dir), out_dir, ckpt,
+            window="1 hour", watermark="2 hours",
+        )
+        q2.awaitTermination(120)
+
+        got = {
+            (r.window_start, r.role): (r.n_turns, r.n_tool_calls)
+            for r in spark.read.parquet(out_dir)
+            .filter(F.col("window_start") < dt.datetime(2029, 1, 1))
+            .collect()
+        }
+        want = {
+            (r.window_start, r.role): (r.n_turns, r.n_tool_calls)
+            for r in base.groupBy(F.window("ts", "1 hour").alias("w"), "role")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.count("tool").alias("n_tool_calls"))
+            .select(F.col("w.start").alias("window_start"), "role",
+                    "n_turns", "n_tool_calls")
+            .collect()
+        }
+        assert got == want  # late 2020 row dropped; every base window flushed once
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_conversation_sessions_stateful(spark):
+    """applyInPandasWithState sessionizer: state carries across
+    microbatches (same conversation in both drops), and the latest
+    summary per conversation equals the batch groupBy oracle."""
+    tmp = tempfile.mkdtemp(prefix="wga_stream_sess_")
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        # drop 1: the even turns of every conversation; drop 2: the odd
+        # ones — forces a real cross-batch state merge for every conv
+        full = gen_transcripts(spark, 40, seed=42).localCheckpoint(eager=True)
+        half1 = full.filter(F.col("turn_idx") % 2 == 0)
+        half2 = full.filter(F.col("turn_idx") % 2 == 1)
+        half1.write.mode("append").parquet(in_dir)
+        q1 = conversation_sessions(stream_transcripts(spark, in_dir), out_dir, ckpt)
+        q1.awaitTermination(120)
+        half2.write.mode("append").parquet(in_dir)
+        q2 = conversation_sessions(stream_transcripts(spark, in_dir), out_dir, ckpt)
+        q2.awaitTermination(120)
+
+        rows = spark.read.parquet(out_dir)
+        latest = {
+            r.conv_id: (r.n_turns, r.n_tool_calls, r.first_ts, r.last_ts)
+            for r in rows.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("conv_id").orderBy(F.desc("n_turns"))
+                ),
+            ).filter("rn = 1").collect()
+        }
+        want = {
+            r.conv_id: (r.n_turns, r.n_tool_calls, r.first_ts, r.last_ts)
+            for r in full.groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.count("tool").alias("n_tool_calls"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            ).collect()
+        }
+        assert latest == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

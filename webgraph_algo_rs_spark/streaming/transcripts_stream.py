@@ -147,3 +147,130 @@ def incremental_edges(
         .trigger(availableNow=True)
         .start()
     )
+
+
+WINDOW_STATS_COLS = (
+    "window_start timestamp, window_end timestamp, role string, "
+    "n_turns bigint, n_tool_calls bigint, n_convs_approx bigint"
+)
+
+
+def windowed_turn_stats(
+    transcripts_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window turn statistics — the late-data-aware
+    rollup a transcript firehose needs (turn volume / tool-call volume /
+    approx distinct conversations per window and role).
+
+    ``withWatermark(ts, watermark)`` bounds both state and lateness:
+    rows later than the watermark are dropped, windows are finalized and
+    *appended* exactly once when the watermark passes their end, so the
+    parquet sink never sees a window twice (exactly-once per window, no
+    idempotent-merge dance). State is O(open windows × roles) — bounded
+    regardless of input scale — and the only shuffle is the windowed
+    groupBy itself, with partial aggregation before the exchange.
+
+    Returns the StreamingQuery. NOTE (append-mode semantics): a window
+    is emitted only once the watermark passes it, so in a finite test
+    feed the trailing windows flush only after a later-timestamped row
+    (or an empty batch past the watermark) arrives.
+    """
+    agg = (
+        transcripts_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count("tool").alias("n_tool_calls"),  # count() skips NULLs
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_tool_calls",
+            "n_convs_approx",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start(out_path)
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "conv_id string, n_turns bigint, n_tool_calls bigint, "
+    "first_ts timestamp, last_ts timestamp"
+)
+# state keeps timestamps as int64 epoch-nanoseconds: the state encoder
+# round-trips longs exactly, with no tz/unit ambiguity
+SESSION_STATE_SCHEMA = "n_turns long, n_tool long, first_ns long, last_ns long"
+
+
+def conversation_sessions(
+    transcripts_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-conversation session stats (turn count, tool-call count,
+    first/last timestamp) maintained in the keyed state store.
+
+    Each microbatch updates the state of exactly the conversations it
+    touches and appends their refreshed summary row — downstream readers
+    take the latest row per ``conv_id`` (monotone ``n_turns`` makes
+    "latest" well-defined without a batch id). State is O(active
+    conversations) and the only shuffle is the implicit hash partition
+    on the group key; within a batch each group's rows arrive as Arrow
+    chunks, so the kernel is vectorized pandas, never per-row Python
+    over the whole feed.
+
+    Returns the StreamingQuery.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n_turns, n_tool, first_ns, last_ns = state.get
+        else:
+            n_turns, n_tool, first_ns, last_ns = 0, 0, None, None
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_tool += int(pdf["tool"].notna().sum())
+            ts_ns = pd.to_datetime(pdf["ts"]).astype("int64")
+            lo, hi = int(ts_ns.min()), int(ts_ns.max())
+            first_ns = lo if first_ns is None else min(first_ns, lo)
+            last_ns = hi if last_ns is None else max(last_ns, hi)
+        state.update((n_turns, n_tool, first_ns, last_ns))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": pd.array([n_turns], dtype="int64"),
+                "n_tool_calls": pd.array([n_tool], dtype="int64"),
+                "first_ts": [pd.Timestamp(first_ns)],
+                "last_ts": [pd.Timestamp(last_ns)],
+            }
+        )
+
+    out = transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .start(out_path)
+    )
