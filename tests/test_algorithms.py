@@ -255,6 +255,43 @@ def test_bucketized_variants_match(spark, tmp_path):
             assert pa[v] == _pytest.approx(pb[v], abs=1e-12), store
 
 
+def test_auto_bucketize_above_threshold(spark):
+    """Size dispatch, upper end: above ``wga.bucketizeMinEdges`` a
+    defaulted call must auto-route to the persist-chain big-graph path
+    (the blocked localCheckpoint loop OOMed a 157M-edge CC run — its
+    state copies outlive the ContextCleaner's GC race) and stay
+    value-identical. Explicit ``local_mode=True`` still wins."""
+    import pytest as _pytest
+
+    from tests.conftest import NINE, edge_df
+    from webgraph_algo_rs_spark.operators import (
+        connected_components,
+        label_propagation,
+        pagerank,
+    )
+
+    edges = edge_df(spark, NINE)
+    spark.conf.set("wga.bucketizeMinEdges", "1")
+    try:
+        cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+        lp = {r.vertex: r.label for r in label_propagation(edges).collect()}
+        pr = {r.vertex: r.rank for r in pagerank(edges).collect()}
+        forced_local = {
+            r.vertex: r.component
+            for r in connected_components(edges, local_mode=True).collect()
+        }
+    finally:
+        spark.conf.unset("wga.bucketizeMinEdges")
+    want_cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    want_lp = {r.vertex: r.label for r in label_propagation(edges).collect()}
+    want_pr = {r.vertex: r.rank for r in pagerank(edges).collect()}
+    assert cc == want_cc and forced_local == want_cc
+    assert lp == want_lp
+    assert set(pr) == set(want_pr)
+    for v in pr:
+        assert pr[v] == _pytest.approx(want_pr[v], abs=1e-12)
+
+
 def test_deep_chain_bounded_plans(spark):
     """Deep-loop operators must not build one union child per level:
     on a long chain (depth ≫ UnionAccumulator.fold_every) the returned

@@ -31,6 +31,7 @@ from webgraph_algo_rs_spark.checkpoint import CheckpointManager
 from webgraph_algo_rs_spark.plans.superstep import (
     SRC,
     DST,
+    PersistChain,
     pin_edges,
     graph_vertices,
     materialize,
@@ -76,6 +77,7 @@ def connected_components(
         and (local_mode or block_size is None)
     ):
         from webgraph_algo_rs_spark.plans.local_csr import (
+            bucketize_min_edges,
             cc_kernel,
             local_kernel_threshold,
             probe_edge_count,
@@ -83,12 +85,19 @@ def connected_components(
         )
 
         thr = local_kernel_threshold(spark)
-        n_edges = probe_edge_count(edges, thr)
+        big_thr = bucketize_min_edges(spark)
+        n_edges = probe_edge_count(edges, max(thr, big_thr))
         if n_edges == 0:
             if stats is not None:
                 stats.update(iterations=0, changed=0)
             return spark.createDataFrame([], "vertex bigint, component bigint")
-        if local_mode or n_edges <= thr:
+        if not local_mode and n_edges > big_thr:
+            # size dispatch, upper end: above wga.bucketizeMinEdges the
+            # blocked localCheckpoint loop accumulates state copies
+            # faster than the ContextCleaner frees them (157M-edge OOM,
+            # round 4) — auto-route to the persist-chain big-graph path
+            bucketize_edges = True
+        elif local_mode or n_edges <= thr:
             out = run_local_kernel(
                 edges,
                 "vertex bigint, component bigint, iterations int, changed bigint",
@@ -138,6 +147,17 @@ def connected_components(
             stats.update(iterations=iters - start_iter, changed=changed)
         return state.select("vertex", F.col("label").alias("component"))
 
+    chain = None
+    if bucketize_edges:
+        # big-graph memory discipline: persist-chain with explicit
+        # handle rotation — exactly two live state copies, vs the
+        # materialize-per-step loop whose localCheckpoint copies the
+        # ContextCleaner must GC-race to free (it loses at 10⁸ edges)
+        chain = PersistChain(
+            "vertex", int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        state = chain.seed(state)
+
     changed = 1
     it = start_iter
     for it in range(start_iter, max_iter):
@@ -148,15 +168,19 @@ def connected_components(
             .groupBy(DST)
             .agg(F.min("label").alias("nl"))
         )
-        stepped = materialize(
-            state.join(msgs, state.vertex == msgs[DST], "left")
-            .select(
-                "vertex",
-                F.least("label", F.coalesce("nl", "label")).alias("label"),
-                (F.coalesce("nl", "label") < F.col("label")).alias("changed"),
-            )
+        stepped_plan = state.join(msgs, state.vertex == msgs[DST], "left").select(
+            "vertex",
+            F.least("label", F.coalesce("nl", "label")).alias("label"),
+            (F.coalesce("nl", "label") < F.col("label")).alias("changed"),
+        )
+        stepped = (
+            chain.stage(stepped_plan, it - start_iter)
+            if chain is not None
+            else materialize(stepped_plan)
         )
         changed = stepped.filter("changed").count()
+        if chain is not None:
+            chain.advance(stepped)
         state = stepped
         metrics = {
             "algo": "cc",
@@ -172,11 +196,14 @@ def connected_components(
 
     if stats is not None:
         stats.update(iterations=it + 1 - start_iter, changed=changed)
+    result = state.select("vertex", F.col("label").alias("component"))
+    if chain is not None:
+        # pins the result off the persist chain AND off the scratch
+        # edge table (a later run may overwrite it)
+        result = chain.finish(result)
     if drop_bucketed is not None:
-        # state is materialized every superstep, so the result's lineage
-        # no longer scans the scratch table — safe to drop it here
         drop_bucketed()
-    return state.select("vertex", F.col("label").alias("component"))
+    return result
 
 
 def _blocked_cc_loop(

@@ -25,6 +25,7 @@ from webgraph_algo_rs_spark.plans.superstep import (
     SRC,
     DST,
     W,
+    PersistChain,
     pin_edges,
     graph_vertices,
     materialize,
@@ -68,6 +69,7 @@ def label_propagation(
         and (local_mode or block_size is None)
     ):
         from webgraph_algo_rs_spark.plans.local_csr import (
+            bucketize_min_edges,
             local_kernel_threshold,
             lpa_kernel,
             probe_edge_count,
@@ -75,12 +77,17 @@ def label_propagation(
         )
 
         thr = local_kernel_threshold(spark)
-        n_edges = probe_edge_count(edges, thr)
+        big_thr = bucketize_min_edges(spark)
+        n_edges = probe_edge_count(edges, max(thr, big_thr))
         if n_edges == 0:
             if stats is not None:
                 stats.update(iterations=0, changed=0)
             return spark.createDataFrame([], "vertex bigint, label bigint")
-        if local_mode or n_edges <= thr:
+        if not local_mode and n_edges > big_thr:
+            # size dispatch, upper end (see components.py): route huge
+            # graphs to the persist-chain path, not the blocked loop
+            bucketize_edges = True
+        elif local_mode or n_edges <= thr:
             out = run_local_kernel(
                 edges,
                 "vertex bigint, label bigint, iterations int, changed bigint",
@@ -126,6 +133,14 @@ def label_propagation(
             stats.update(iterations=iters - start_iter, changed=changed)
         return state
 
+    chain = None
+    if bucketize_edges:
+        # big-graph memory discipline (see components.py / PersistChain)
+        chain = PersistChain(
+            "vertex", int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        state = chain.seed(state)
+
     changed = -1
     it = start_iter
     for it in range(start_iter, max_iter):
@@ -140,15 +155,19 @@ def label_propagation(
                 "new_label"
             )
         )
-        stepped = materialize(
-            state.join(best, state.vertex == best[DST], "left")
-            .select(
-                "vertex",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
-            )
+        stepped_plan = state.join(best, state.vertex == best[DST], "left").select(
+            "vertex",
+            F.coalesce("new_label", "label").alias("label"),
+            (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
+        )
+        stepped = (
+            chain.stage(stepped_plan, it - start_iter)
+            if chain is not None
+            else materialize(stepped_plan)
         )
         changed = stepped.filter("changed").count()
+        if chain is not None:
+            chain.advance(stepped)
         state = stepped.select("vertex", "label")
         metrics = {
             "algo": "lpa",
@@ -164,9 +183,12 @@ def label_propagation(
 
     if stats is not None:
         stats.update(iterations=it + 1 - start_iter, changed=changed)
+    if chain is not None:
+        state = chain.finish(state)
     if drop_bucketed is not None:
-        # `stepped` was materialized, so the result no longer reads the
-        # scratch table; drop it to avoid leaking an edge copy per run
+        # the result no longer reads the scratch table (materialized
+        # per-step or pinned by chain.finish); drop it to avoid leaking
+        # an edge copy per run
         drop_bucketed()
     return state
 

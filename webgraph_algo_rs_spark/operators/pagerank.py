@@ -91,6 +91,7 @@ def pagerank(
     )
     if local_eligible:
         from webgraph_algo_rs_spark.plans.local_csr import (
+            bucketize_min_edges,
             local_kernel_threshold,
             pagerank_kernel,
             probe_edge_count,
@@ -98,12 +99,17 @@ def pagerank(
         )
 
         thr = local_kernel_threshold(spark)
-        n_edges = probe_edge_count(edges, thr)
+        big_thr = bucketize_min_edges(spark)
+        n_edges = probe_edge_count(edges, max(thr, big_thr))
         if n_edges == 0:
             if stats is not None:
                 stats.update(iterations=0, residual=0.0, n_vertices=0, wall_sec=0.0)
             return spark.createDataFrame([], "vertex bigint, rank double")
-        if local_mode or n_edges <= thr:
+        if not local_mode and n_edges > big_thr:
+            # size dispatch, upper end (see components.py): huge graphs
+            # go to the persist-chain big-graph path automatically
+            bucketize_edges = True
+        elif local_mode or n_edges <= thr:
             t0 = time.time()
             out = run_local_kernel(
                 edges,

@@ -63,6 +63,27 @@ def local_kernel_threshold(spark) -> int:
         return LOCAL_KERNEL_MAX_EDGES_DEFAULT
 
 
+BUCKETIZE_MIN_EDGES_CONF = "wga.bucketizeMinEdges"
+BUCKETIZE_MIN_EDGES_DEFAULT = 32_000_000
+
+
+def bucketize_min_edges(spark) -> int:
+    """Edge count above which auto-dispatch upgrades an iterative
+    operator to its big-graph persist-chain path (session conf
+    ``wga.bucketizeMinEdges``): the mid-size blocked-localCheckpoint
+    loop retains state copies until the ContextCleaner's weak-ref GC
+    frees them, which loses the race on 10⁸-edge graphs (measured OOM at
+    157M edges / 28g heap, round 4). The three-tier size dispatch is
+    local-CSR ≤ ``wga.localKernelMaxEdges`` < blocked supersteps ≤ this
+    < persist-chain bucketized."""
+    try:
+        return int(
+            spark.conf.get(BUCKETIZE_MIN_EDGES_CONF, str(BUCKETIZE_MIN_EDGES_DEFAULT))
+        )
+    except (TypeError, ValueError):
+        return BUCKETIZE_MIN_EDGES_DEFAULT
+
+
 def probe_edge_count(edges: DataFrame, threshold: int) -> int:
     """Edge count capped at ``threshold + 1``: deciding "is this graph
     local-kernel small?" must never cost a full pass over a 100 TB edge

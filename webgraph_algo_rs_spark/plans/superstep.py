@@ -350,3 +350,75 @@ def salted_agg(
     salted = msgs.withColumn("_salt", F.pmod(F.hash(*salt_cols), F.lit(n_salt)))
     partial = merge(salted, [key_col, "_salt"])
     return merge(partial, [key_col]).drop("_salt")
+
+
+class PersistChain:
+    """Explicit persisted-handle rotation for big-graph fixpoint loops —
+    the PageRank discipline (`operators/pagerank.py:227-252`) packaged
+    for reuse. ``materialize`` (eager ``localCheckpoint``) per superstep
+    leaks one full state copy per iteration until the ContextCleaner's
+    weak-reference GC catches up; on a 157M-edge run the cleaner itself
+    OOMed before it could (measured, round 4). This helper persists each
+    superstep's state, lets the caller's action materialize it, then
+    *explicitly* releases the previous handle, so exactly two state
+    copies are ever live. Every ``cut_every`` steps the lineage is
+    truncated (``materialize`` + repartition on the loop key) to keep
+    Catalyst analysis bounded — a superstep references its predecessor
+    twice (scatter + apply), so an un-cut plan doubles per iteration.
+
+    Usage::
+
+        chain = PersistChain("vertex", n_buckets)
+        state = chain.seed(state)
+        for it in ...:
+            stepped = chain.stage(stepped_plan, it)
+            changed = stepped.filter("changed").count()   # caller action
+            chain.advance(stepped)
+            state = stepped
+        return chain.finish(state.select(...))
+    """
+
+    def __init__(self, key: str, n_buckets: int, cut_every: int = 4):
+        self.key = key
+        self.n_buckets = n_buckets
+        self.cut_every = cut_every
+        self._prev = None
+
+    def seed(self, state: DataFrame) -> DataFrame:
+        """Persist the initial state, partitioned on the loop key so the
+        first scatter join reuses the exchange."""
+        seeded = state.repartition(self.n_buckets, self.key).persist()
+        self._prev = seeded
+        return seeded
+
+    def stage(self, plan: DataFrame, step: int) -> DataFrame:
+        """Persist this superstep's state plan (materialized by the
+        caller's next action); periodically cut lineage."""
+        staged = plan.persist()
+        if step % self.cut_every == self.cut_every - 1:
+            cut = (
+                materialize(staged)
+                .repartition(self.n_buckets, self.key)
+                .persist()
+            )
+            staged.unpersist()
+            staged = cut
+        return staged
+
+    def advance(self, staged: DataFrame) -> None:
+        """Release the previous superstep's handle. Call only AFTER an
+        action has materialized ``staged`` — unpersisting the projection
+        instead of the handle is a silent no-op (CacheManager uncaches
+        only plans that ``sameResult`` the cached one)."""
+        if self._prev is not None:
+            self._prev.unpersist()
+        self._prev = staged
+
+    def finish(self, result: DataFrame) -> DataFrame:
+        """Pin ``result`` off the chain (and off any scratch edge table
+        a later run may overwrite), then release the last handle."""
+        out = materialize(result)
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
+        return out
