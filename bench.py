@@ -125,6 +125,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 **extra,
+                "notes": (
+                    "r3 carried-query regression attributed to sandbox load "
+                    "(idle-box re-run: BASELINE.md attribution table, "
+                    "bench_logs/bench_r4_idle.log); "
+                    "r4 speedup is the size-dispatched local-CSR kernels "
+                    "(plans/local_csr.py) + window-folded LSH guards "
+                    "(functions/dedup.py) — distributed plans unchanged, "
+                    "dispatch thresholds keep cluster-scale graphs on the "
+                    "bucketed/persist-chain paths"
+                ),
             }
         )
     )
