@@ -112,6 +112,17 @@ def main() -> None:
                 extra["big_graph_cores"] = best["cores"]
             if "efficiency_2_to_8" in s:
                 extra["scaling_efficiency_2_to_8"] = s["efficiency_2_to_8"]
+            # throughput at BOTH N and 4N parallelism levels, per the
+            # two-cluster-size evidence rule (BENCH_SCALING.md carries
+            # the full table + the shared-DRAM caveat for 8->32)
+            for lvl in ("local2", "local8", "local32"):
+                r = s.get(lvl)
+                if r and "error" not in r:
+                    extra[f"edges_per_sec_per_superstep_{lvl}"] = round(
+                        r["edges_per_sec_per_superstep"], 1
+                    )
+            if "efficiency_8_to_32" in s:
+                extra["scaling_efficiency_8_to_32"] = s["efficiency_8_to_32"]
         except (ValueError, KeyError):
             pass
 
