@@ -886,6 +886,137 @@ SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
 """
 
 
+def q_bfs_multisource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component multi-source BFS (SURVEY §2 O18, reference
+    `visits/mod.rs` multi-flood contract): one tagged flood carrying all
+    sources at once — the primitive ExactSumSweep's batched sweeps are
+    built on. Sources are every 37th vertex id, a rule the DuckDB
+    recursive-CTE oracle derives identically."""
+    from webgraph_algo_rs_spark.operators import bfs_distances
+    from webgraph_algo_rs_spark.plans.superstep import graph_vertices
+
+    edges = _events_edges(spark, sf_dir)
+    sources = graph_vertices(edges).filter(F.col("vertex") % 37 == 0)
+    return bfs_distances(edges, sources.select(F.col("vertex").alias("source"))).select(
+        "source", "vertex", "distance"
+    )
+
+
+_STREAM_SENTINEL_TS = 1893456000  # 2030-01-01 UTC, past every base window
+
+# DuckDB regeneration of sql_transcripts(300) with the closed-form epoch
+# timestamp (1704067200 + cid*300 + turn_idx*7 — transcripts.py:110-112);
+# base CTE for both streaming oracles
+_STREAM_BASE_SQL = """
+WITH conv AS (SELECT i AS cid, 2 + (i * 7919) % 29 AS n FROM range(0, 300) r(i)),
+turns AS (SELECT cid, unnest(generate_series(0, n - 1)) AS turn_idx FROM conv),
+t AS (
+  SELECT cid, turn_idx,
+         CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN turn_idx % 2 = 1 AND (cid * 31 + turn_idx * 17) % 10 < 4
+              THEN printf('tool_%03d', (cid * 13 + turn_idx * 7) % 64) END AS tool,
+         1704067200 + cid * 300 + turn_idx * 7 AS ts_s
+  FROM turns
+)
+"""
+
+
+def _stream_source_dir(spark: SparkSession) -> str:
+    """Write the arithmetic transcript table (`sql_transcripts(300)` —
+    the same closed-form source the batch transcript queries use) as the
+    file-stream input, one fresh dir per call so gate re-runs never share
+    stream checkpoints."""
+    import tempfile
+
+    from webgraph_algo_rs_spark.sources.transcripts import sql_transcripts
+
+    tmp = tempfile.mkdtemp(prefix="wga_gate_stream_")
+    in_dir = f"{tmp}/in"
+    sql_transcripts(spark, 300).write.mode("append").parquet(in_dir)
+    return tmp
+
+
+def q_stream_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface under the oracle gate: the
+    watermarked tumbling-window rollup (`streaming/transcripts_stream.py
+    ::windowed_turn_stats`) replayed to completion over the arithmetic
+    transcript source. Two-phase run mirrors the stream's real
+    append-mode semantics — the base feed first, then a far-future
+    sentinel row whose watermark advance flushes every base window
+    exactly once. The 48h watermark covers the 25h base span so no base
+    row is late w.r.t. intra-run batch ordering. The sentinel's own
+    window can never flush (nothing follows it), so the sink holds
+    precisely the batch windowed aggregation of the base table — which
+    is what the DuckDB oracle computes. The engine-approximate
+    `n_convs_approx` column is excluded from the cross-engine compare
+    (sketch internals differ per engine); exact columns only."""
+    import datetime as dt
+
+    from webgraph_algo_rs_spark.streaming import (
+        stream_transcripts,
+        windowed_turn_stats,
+    )
+
+    tmp = _stream_source_dir(spark)
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    q1 = windowed_turn_stats(
+        stream_transcripts(spark, in_dir), out_dir, ckpt,
+        window="1 hour", watermark="48 hours",
+    )
+    q1.awaitTermination(300)
+    sentinel = spark.createDataFrame(
+        [("conv-sentinel", 0, "user", "sentinel", None,
+          dt.datetime.fromtimestamp(_STREAM_SENTINEL_TS, dt.timezone.utc))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    sentinel.write.mode("append").parquet(in_dir)
+    q2 = windowed_turn_stats(
+        stream_transcripts(spark, in_dir), out_dir, ckpt,
+        window="1 hour", watermark="48 hours",
+    )
+    q2.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("window_start").cast("long") < _STREAM_SENTINEL_TS - 86400)
+        .select(
+            F.col("window_start").cast("long").alias("window_start_s"),
+            "role",
+            "n_turns",
+            "n_tool_calls",
+        )
+    )
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (`applyInPandasWithState`
+    sessionizer) under the oracle gate: replay the arithmetic transcript
+    feed to completion and reduce each conversation's emitted rows to
+    its final state (all four stats are monotone across a conversation's
+    per-batch emissions, so max/min over emissions == the keyed state at
+    stream end regardless of how the file source batched the feed). The
+    DuckDB oracle is the batch GROUP BY the final state must equal."""
+    from webgraph_algo_rs_spark.streaming import (
+        conversation_sessions,
+        stream_transcripts,
+    )
+
+    tmp = _stream_source_dir(spark)
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    q = conversation_sessions(stream_transcripts(spark, in_dir), out_dir, ckpt)
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.max("n_turns").alias("n_turns"),
+            F.max("n_tool_calls").alias("n_tool_calls"),
+            F.min(F.col("first_ts").cast("long")).alias("first_ts_s"),
+            F.max(F.col("last_ts").cast("long")).alias("last_ts_s"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-vertex graph summary (degrees ⋈ components ⋈
     pagerank ⋈ triangles) of the sf0.001 events interaction graph."""
@@ -953,6 +1084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "bfs_multisource_events": q_bfs_multisource_events,
+        "stream_turn_stats": q_stream_turn_stats,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -1419,4 +1553,33 @@ FROM r WHERE rn <= 5
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ANN_IVF_SQL,
         "hyperball_events": _EG + _hyperball_sql(),
+        "bfs_multisource_events": _EG + """
+, srcs AS (SELECT v FROM verts WHERE v % 37 = 0)
+, r(source, v, d) AS (
+  SELECT v, v, 0 FROM srcs
+  UNION
+  SELECT r.source, e.dst_vertex, r.d + 1
+  FROM r JOIN eg e ON r.v = e.src_vertex
+  WHERE r.d < 300
+)
+SELECT source, v AS vertex, CAST(min(d) AS BIGINT) AS distance
+FROM r GROUP BY 1, 2
+""",
+        # the stream's append-mode sink, flushed to completion by the
+        # sentinel row, must equal the plain batch windowed aggregation
+        # of the base feed (the sentinel's own window can never flush)
+        "stream_turn_stats": _STREAM_BASE_SQL + """
+SELECT CAST((ts_s // 3600) * 3600 AS BIGINT) AS window_start_s, role,
+       count(*) AS n_turns, count(tool) AS n_tool_calls
+FROM t GROUP BY 1, 2
+""",
+        # the sessionizer's final keyed state per conversation must
+        # equal the batch GROUP BY over the same feed
+        "stream_sessions": _STREAM_BASE_SQL + """
+SELECT printf('conv-%09d', cid) AS conv_id,
+       count(*) AS n_turns, count(tool) AS n_tool_calls,
+       CAST(min(ts_s) AS BIGINT) AS first_ts_s,
+       CAST(max(ts_s) AS BIGINT) AS last_ts_s
+FROM t GROUP BY 1
+""",
     }
