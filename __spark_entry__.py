@@ -190,9 +190,12 @@ WITH t AS (
 """
 
 
-def _hyperball_sql() -> str:
+def _hyperball_prefix_sql() -> str:
     """DuckDB twin of ``operators.hyperball`` (log2m=8, seed 42,
-    splitmix64, run to stabilization).
+    splitmix64, run to stabilization) — the shared replay prefix ending
+    at ``est3(vertex, t, est)``, the per-vertex ball estimate at every
+    superstep; the centralities and neighbourhood-function oracles put
+    different tails on it.
 
     HyperBall's max-merge is lossless for HLL registers — the sketch of
     a union IS the elementwise max — so after ``t`` supersteps every
@@ -253,7 +256,14 @@ def _hyperball_sql() -> str:
          CASE WHEN raw < 2.5 * 256.0 AND zeros > 0
               THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS est
   FROM est2
-), deltas AS (
+)"""
+
+
+def _hyperball_sql() -> str:
+    """Centralities tail over the shared replay prefix (see
+    :func:`_hyperball_prefix_sql` for the bit-exact HLL mechanics)."""
+    return _hyperball_prefix_sql() + """
+, deltas AS (
   SELECT vertex, t, est,
          greatest(est - lag(est) OVER (PARTITION BY vertex ORDER BY t), 0.0) AS delta
   FROM est3
@@ -270,6 +280,23 @@ SELECT CAST(vertex AS BIGINT) AS vertex, reachable, sum_d AS sum_distances,
        CASE WHEN sum_d = 0.0 THEN 1.0 ELSE reachable * reachable / sum_d END AS lin,
        reachable * reachable - sum_d AS nieminen
 FROM accum
+"""
+
+
+def _hyperball_nf_sql() -> str:
+    """Neighbourhood-function tail: N(t) = running max of Σ_v est(v,t)
+    (the operator's monotone clamp, `operators/hyperball.py:362`), both
+    engines rounded to 6 decimals (global float sums reorder across
+    engines at ~1e-15 relative — the round makes the hash compare exact)
+    and truncated at the last strict increase (the Spark loop appends
+    one final equal entry at its changed==0 fixpoint; registers are a
+    fixpoint from the first equal pair on, so dropping equals ends both
+    engines at the same t)."""
+    return _hyperball_prefix_sql() + """
+, nfs AS (SELECT t, sum(est) AS s FROM est3 GROUP BY t)
+, nfm AS (SELECT t, round(max(s) OVER (ORDER BY t), 6) AS nf FROM nfs)
+, nfk AS (SELECT t, nf, lag(nf) OVER (ORDER BY t) AS pnf FROM nfm)
+SELECT CAST(t AS BIGINT) AS t, nf FROM nfk WHERE pnf IS NULL OR nf > pnf
 """
 
 
@@ -886,6 +913,62 @@ SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
 """
 
 
+def q_nf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global neighbourhood function (SURVEY §2 O8, reference
+    `hyperball_impl.rs:1047-1051,626-629`): N(t) per superstep from the
+    same HyperBall run the centralities oracle replays bit-exactly; see
+    `_hyperball_nf_sql` for the rounding/truncation contract that makes
+    the cross-engine hash exact."""
+    from webgraph_algo_rs_spark.operators import neighbourhood_function
+
+    vals = [round(v, 6) for v in neighbourhood_function(_events_edges(spark, sf_dir))]
+    rows: list[tuple[int, float]] = []
+    prev = None
+    for t, v in enumerate(vals):
+        if prev is None or v > prev:
+            rows.append((t, v))
+            prev = v
+    return spark.createDataFrame(rows, "t bigint, nf double")
+
+
+def q_hyperball_discounted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted centrality (SURVEY §2 O11, reference's user-supplied
+    discount `hyperball_impl.rs` Σ Δ·f(t)) with f(t)=2^-t — the one
+    HyperBall output column the main hyperball_events row doesn't carry
+    (1/t would duplicate harmonic). Same bit-exact replay prefix, tail
+    sums delta·2^-t."""
+    from webgraph_algo_rs_spark.operators import hyperball
+
+    return hyperball(
+        _events_edges(spark, sf_dir), discount=lambda t: 0.5 ** t
+    ).select("vertex", "discounted")
+
+
+def q_nf_tree_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbourhood function over the deterministic 3-ary tree
+    (same derivation as q_dfs_tree_events) — the events graph at sf0.01
+    saturates in ~3 supersteps, so this row pins the N(t) trajectory on
+    a diameter-8 graph where the per-superstep clamp and truncation
+    rules actually bite."""
+    from webgraph_algo_rs_spark.operators import neighbourhood_function
+    from webgraph_algo_rs_spark.sources.tables import load_table
+
+    n = min(load_table(spark, sf_dir, "events").count(), 4095)
+    edges = spark.range(1, n).select(
+        F.floor((F.col("id") - 1) / 3).cast("long").alias("src_vertex"),
+        F.col("id").cast("long").alias("dst_vertex"),
+        F.lit(1.0).alias("weight"),
+    )
+    vals = [round(v, 6) for v in neighbourhood_function(edges)]
+    rows: list[tuple[int, float]] = []
+    prev = None
+    for t, v in enumerate(vals):
+        if prev is None or v > prev:
+            rows.append((t, v))
+            prev = v
+    return spark.createDataFrame(rows, "t bigint, nf double")
+
+
 def q_bfs_multisource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-component multi-source BFS (SURVEY §2 O18, reference
     `visits/mod.rs` multi-flood contract): one tagged flood carrying all
@@ -1084,6 +1167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "hyperball_discounted_events": q_hyperball_discounted_events,
+        "nf_events": q_nf_events,
+        "nf_tree_events": q_nf_tree_events,
         "bfs_multisource_events": q_bfs_multisource_events,
         "stream_turn_stats": q_stream_turn_stats,
         "stream_sessions": q_stream_sessions,
@@ -1553,6 +1639,25 @@ FROM r WHERE rn <= 5
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ANN_IVF_SQL,
         "hyperball_events": _EG + _hyperball_sql(),
+        "hyperball_discounted_events": _EG + _hyperball_prefix_sql() + """
+, deltas AS (
+  SELECT vertex, t, est,
+         greatest(est - lag(est) OVER (PARTITION BY vertex ORDER BY t), 0.0) AS delta
+  FROM est3
+)
+SELECT CAST(vertex AS BIGINT) AS vertex,
+       coalesce(sum(delta * power(0.5, t)) FILTER (t > 0), 0.0) AS discounted
+FROM deltas GROUP BY vertex
+""",
+        "nf_events": _EG + _hyperball_nf_sql(),
+        "nf_tree_events": """
+WITH RECURSIVE nn AS (SELECT LEAST((SELECT count(*) FROM events), 4095) AS n),
+eg AS (
+  SELECT CAST((i - 1) // 3 AS BIGINT) AS src_vertex, CAST(i AS BIGINT) AS dst_vertex
+  FROM range(1, 4095) r(i) WHERE i < (SELECT n FROM nn)
+), verts AS (
+  SELECT CAST(i AS BIGINT) AS v FROM range(0, 4095) r(i) WHERE i < (SELECT n FROM nn)
+)""" + _hyperball_nf_sql(),
         "bfs_multisource_events": _EG + """
 , srcs AS (SELECT v FROM verts WHERE v % 37 = 0)
 , r(source, v, d) AS (
