@@ -82,3 +82,24 @@ def test_cc_resume(spark, tmp_path):
         for r in connected_components(edges, checkpoint=cp).collect()
     }
     assert resumed == full
+
+
+def test_cc_resume_on_chain_path(spark, tmp_path):
+    """Resume must compose with the upper dispatch tier: above
+    ``wga.bucketizeMinEdges`` the loop runs on the persist-chain path,
+    and a checkpoint written there must resume (on the same path) to
+    the uninterrupted answer. Guards the chain.seed-after-resume
+    ordering in components.py."""
+    edges = edge_df(spark, ARCS)
+    full = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    spark.conf.set("wga.bucketizeMinEdges", "1")
+    try:
+        cp = CheckpointManager(str(tmp_path), "cc_chain")
+        connected_components(edges, max_iter=2, checkpoint=cp)
+        resumed = {
+            r["vertex"]: r["component"]
+            for r in connected_components(edges, checkpoint=cp).collect()
+        }
+    finally:
+        spark.conf.unset("wga.bucketizeMinEdges")
+    assert resumed == full
