@@ -206,3 +206,115 @@ def test_cnr2000_radius_diameter_undirected(cnr_spark):
     # their exact ecc bounds the certified scalars from both sides
     assert row.diameter >= max(ecc_samples.values())
     assert row.radius <= min(ecc_samples.values())
+
+
+@pytest.mark.skipif(
+    os.environ.get("WGA_SLOW_TESTS") != "1",
+    reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
+)
+def test_cnr2000_cc_and_triangles_vs_numpy(cnr_spark):
+    """The north rule's remaining two algorithms at reference scale:
+    hash-min connected components and degree-oriented triangle counting
+    on the symmetrized 3.2M-arc cnr-2000, each checked against an
+    independent single-machine numpy oracle (union-find; sorted-CSR
+    oriented intersection) computed straight off the decoded arc arrays
+    — no Spark code in the oracle path. (PageRank at scale is covered
+    by the 157M-edge scaling harness, SCC/HyperBall/ESS by their own
+    anchors.)"""
+    spark = cnr_spark
+    from pyspark.sql import functions as F
+
+    from webgraph_algo_rs_spark.operators import (
+        connected_components,
+        triangle_count_global,
+    )
+    from webgraph_algo_rs_spark.sources.bvgraph import bv_edge_arrays, read_bv_edges
+
+    src, dst = bv_edge_arrays(CNR)
+    n = 325557
+
+    # ---- numpy oracle 1: component count + size histogram (union-find)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.array([find(i) for i in range(n)], dtype=np.int64)
+    _, want_sizes = np.unique(roots, return_counts=True)
+    want_hist = np.sort(want_sizes)
+
+    # ---- numpy oracle 2: exact triangle count (orient by (degree, id),
+    # count |N+(u) ∩ N+(v)| over oriented edges via sorted-array merge)
+    und = np.unique(
+        np.stack(
+            [np.minimum(src, dst), np.maximum(src, dst)], axis=1
+        )[src != dst],
+        axis=0,
+    )
+    deg = np.bincount(und[:, 0], minlength=n) + np.bincount(und[:, 1], minlength=n)
+    key = deg.astype(np.int64) * n + np.arange(n, dtype=np.int64)  # total order
+    lo, hi = und[:, 0], und[:, 1]
+    swap = key[lo] > key[hi]
+    ou = np.where(swap, hi, lo)
+    ov = np.where(swap, lo, hi)
+    order = np.lexsort((ov, ou))
+    ou, ov = ou[order], ov[order]
+    starts = np.searchsorted(ou, np.arange(n))
+    ends = np.searchsorted(ou, np.arange(n) + 1)
+    want_triangles = 0
+    for e in range(len(ou)):
+        u, v = int(ou[e]), int(ov[e])
+        nu = ov[starts[u] : ends[u]]
+        nv = ov[starts[v] : ends[v]]
+        want_triangles += len(np.intersect1d(nu, nv, assume_unique=True))
+
+    # ---- the engine, from the same decode
+    edges = read_bv_edges(spark, CNR).localCheckpoint(eager=True)
+    cc = connected_components(edges)
+    got_hist = np.sort(
+        np.array(
+            [r["sz"] for r in cc.groupBy("component").agg(F.count("*").alias("sz")).collect()],
+            dtype=np.int64,
+        )
+    )
+    # vertices with no arcs never appear in the edge table: the engine's
+    # graph is the 325,557-vertex decode, which covers every vertex that
+    # occurs as src or dst; isolated ids (if any) are singletons both sides
+    seen = np.union1d(np.unique(src), np.unique(dst))
+    want_seen_hist = np.sort(want_sizes[want_sizes > 0])
+    if len(seen) < n:
+        iso = n - len(seen)
+        # drop `iso` singleton components from the oracle histogram
+        keep = want_hist.tolist()
+        for _ in range(iso):
+            keep.remove(1)
+        want_seen_hist = np.array(keep, dtype=np.int64)
+    assert np.array_equal(got_hist, want_seen_hist)
+
+    # the auto dispatch picks the local-CSR kernel at 3.2M edges; pin the
+    # distributed superstep path against the same oracle too
+    cc_dist = connected_components(edges, local_mode=False)
+    got_hist_dist = np.sort(
+        np.array(
+            [
+                r["sz"]
+                for r in cc_dist.groupBy("component")
+                .agg(F.count("*").alias("sz"))
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+    )
+    assert np.array_equal(got_hist_dist, want_seen_hist)
+
+    got_triangles = triangle_count_global(edges).first()[0]
+    assert int(got_triangles) == int(want_triangles)
