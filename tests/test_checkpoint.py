@@ -95,11 +95,18 @@ def test_cc_resume_on_chain_path(spark, tmp_path):
     spark.conf.set("wga.bucketizeMinEdges", "1")
     try:
         cp = CheckpointManager(str(tmp_path), "cc_chain")
-        connected_components(edges, max_iter=2, checkpoint=cp)
+        st1: dict = {}
+        connected_components(edges, max_iter=2, checkpoint=cp, stats=st1)
+        st2: dict = {}
         resumed = {
             r["vertex"]: r["component"]
-            for r in connected_components(edges, checkpoint=cp).collect()
+            for r in connected_components(edges, checkpoint=cp, stats=st2).collect()
         }
     finally:
         spark.conf.unset("wga.bucketizeMinEdges")
+    # the size dispatch must route BOTH checkpointed runs onto the
+    # persist-chain path (a checkpoint must not demote a huge graph to
+    # the per-step materialize loop) — not vacuously pass on the
+    # ordinary loop
+    assert st1["bucketized"] and st2["bucketized"]
     assert resumed == full

@@ -200,6 +200,50 @@ def test_corrupt_dictionary_raises_not_silently_rederives(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_crash_between_renames_restores_backup_dictionary(spark):
+    """`_hadoop_replace` parks the live dictionary at ``.__old`` before
+    the new copy lands; a crash in that window leaves the primary
+    missing but the backup intact. Restart must restore the backup and
+    keep phase-1 ids stable — NOT treat the missing primary as a clean
+    first run (the silent re-derivation ADVICE r3/r4 guards against)."""
+    tmp = tempfile.mkdtemp(prefix="wga_stream_crashwin_")
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        dict_dir = f"{tmp}/dict"
+        early = gen_transcripts(spark, 20, seed=42)
+        late = gen_transcripts(spark, 40, seed=42).filter(
+            F.col("conv_id") >= "conv-000000020"
+        )
+        early.write.mode("append").parquet(in_dir)
+        q1 = incremental_edges(
+            stream_transcripts(spark, in_dir), early, out_dir, ckpt,
+            dict_path=dict_dir,
+        )
+        q1.awaitTermination(120)
+        phase1 = {
+            r.key: r.vertex_id for r in spark.read.parquet(dict_dir).collect()
+        }
+        assert phase1
+
+        # simulate the crash window: old dict renamed aside, new one
+        # never arrived
+        os.rename(dict_dir, dict_dir + ".__old")
+
+        late.write.mode("append").parquet(in_dir)
+        q2 = incremental_edges(
+            stream_transcripts(spark, in_dir), late, out_dir, ckpt,
+            dict_path=dict_dir,
+        )
+        q2.awaitTermination(120)
+        phase2 = {
+            r.key: r.vertex_id for r in spark.read.parquet(dict_dir).collect()
+        }
+        assert {k: phase2.get(k) for k in phase1} == phase1
+        assert not os.path.exists(dict_dir + ".__old")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_windowed_turn_stats_matches_batch_and_drops_late(spark):
     """Watermarked tumbling windows: finalized windows must equal the
     batch windowed aggregation over the on-time rows, and a row arriving

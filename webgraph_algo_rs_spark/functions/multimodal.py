@@ -622,6 +622,12 @@ def _decode_jpeg(p: bytes) -> np.ndarray:
                 cur = bytearray()
                 j += 2
                 continue
+            if nxt == 0xFF:
+                # B.1.1.2: any number of 0xFF fill bytes may pad the
+                # stream before a marker (including RSTn) — drop the
+                # fill byte and re-examine, don't end the scan
+                j += 1
+                continue
             break  # EOI or next real marker
         cur.append(b)
         j += 1
@@ -691,13 +697,21 @@ def grid_mean_resize(img: np.ndarray, gh: int, gw: int) -> np.ndarray:
     h, w = img.shape
     ys = np.linspace(0, h, gh + 1).astype(int)
     xs = np.linspace(0, w, gw + 1).astype(int)
-    out = np.empty((gh, gw), dtype=np.float32)
-    for a in range(gh):
-        for b in range(gw):
-            block = img[ys[a] : max(ys[a + 1], ys[a] + 1),
-                        xs[b] : max(xs[b + 1], xs[b] + 1)]
-            out[a, b] = float(block.mean())
-    return out
+    # vectorized via a summed-area table: one cumsum pass + four gathers
+    # replaces the gh×gw interpreted loop (262k iterations at a 512×512
+    # target) that dominated the transcode/resize hot path
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(img, axis=0, dtype=np.float64, out=ii[1:, 1:])
+    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+    y0 = np.minimum(ys[:-1], h - 1)  # every cell keeps ≥1 source row/col
+    y1 = np.minimum(np.maximum(ys[1:], y0 + 1), h)  # (upsampling cells)
+    x0 = np.minimum(xs[:-1], w - 1)
+    x1 = np.minimum(np.maximum(xs[1:], x0 + 1), w)
+    sums = (
+        ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0]
+    )
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (sums / areas).astype(np.float32)
 
 
 def decode_builtin(payload: bytes, kind: str, feat_dim: int) -> tuple[np.ndarray, int]:

@@ -71,8 +71,7 @@ def connected_components(
     """
     spark = edges.sparkSession
     if (
-        checkpoint is None
-        and not bucketize_edges
+        not bucketize_edges
         and local_mode is not False
         and (local_mode or block_size is None)
     ):
@@ -87,7 +86,7 @@ def connected_components(
         thr = local_kernel_threshold(spark)
         big_thr = bucketize_min_edges(spark)
         n_edges = probe_edge_count(edges, max(thr, big_thr))
-        if n_edges == 0:
+        if n_edges == 0 and checkpoint is None:
             if stats is not None:
                 stats.update(iterations=0, changed=0)
             return spark.createDataFrame([], "vertex bigint, component bigint")
@@ -95,9 +94,12 @@ def connected_components(
             # size dispatch, upper end: above wga.bucketizeMinEdges the
             # blocked localCheckpoint loop accumulates state copies
             # faster than the ContextCleaner frees them (157M-edge OOM,
-            # round 4) — auto-route to the persist-chain big-graph path
+            # round 4) — auto-route to the persist-chain big-graph path.
+            # Applies to checkpointed runs too: per-iteration durability
+            # must not silently demote a huge graph onto the
+            # materialize-per-step loop that OOMs at this scale.
             bucketize_edges = True
-        elif local_mode or n_edges <= thr:
+        elif checkpoint is None and (local_mode or n_edges <= thr):
             out = run_local_kernel(
                 edges,
                 "vertex bigint, component bigint, iterations int, changed bigint",
@@ -116,8 +118,15 @@ def connected_components(
     sym_plan = symmetrize(edges).select(SRC, DST)
     drop_bucketed = None
     if bucketize_edges:
+        # probe the raw scan, not the symmetrize plan: limit() cannot
+        # short-circuit through symmetrize's groupBy, so probing the
+        # plan itself would pay a full extra shuffle of the edge table
+        # just to pick the store. The raw count undercounts the
+        # symmetrized table by at most 2× — a cached pick near the
+        # threshold still lands on MEMORY_AND_DISK, which spills.
         sym, drop_bucketed = pin_edges(
-            sym_plan, SRC, table_name="wga_cc_edges", store=edge_store
+            sym_plan, SRC, table_name="wga_cc_edges", store=edge_store,
+            probe_df=edges,
         )
     else:
         sym = materialize(sym_plan)
@@ -195,7 +204,11 @@ def connected_components(
             break
 
     if stats is not None:
-        stats.update(iterations=it + 1 - start_iter, changed=changed)
+        stats.update(
+            iterations=it + 1 - start_iter,
+            changed=changed,
+            bucketized=bool(bucketize_edges),
+        )
     result = state.select("vertex", F.col("label").alias("component"))
     if chain is not None:
         # pins the result off the persist chain AND off the scratch

@@ -113,6 +113,7 @@ def hyperball(
     n_upper: int | None = None,
     node_weights: DataFrame | None = None,
     local_frontier_frac: float = 1 / 32,
+    local_frontier_max: int = 200_000,
     local_mode: bool | None = None,
 ) -> DataFrame:
     """Run HyperBall on the out-direction of ``edges``.
@@ -144,7 +145,11 @@ def hyperball(
     broadcast into their joins, so neither the 3.2M-arc table nor the
     full sketch state shuffles in the (long) saturated tail —
     supersteps 20–81 of the cnr-2000 golden run touch <1k of 325k
-    vertices. Set to 0 to disable.
+    vertices. Set to 0 to disable. ``local_frontier_max`` bounds the
+    switch absolutely: a relative gate alone would broadcast multi-GB
+    sketch frontiers on 1e8+-vertex graphs (n/32 rows × m-byte
+    registers), so local mode also requires ``changed`` rows ≤ this cap
+    — the same ceiling the merged-message broadcast uses.
     ``local_mode``: ``True`` forces the partition-local CSR kernel
     (``plans/local_csr.hyperball_local`` — the whole systolic loop in
     one task, bit-identical outputs and iteration count), ``False``
@@ -270,9 +275,14 @@ def hyperball(
         # local mode (reference pre-local/local, hyperball_impl.rs:795-835):
         # a collapsed frontier is cheaper to ship to every executor than
         # the arcs/state tables are to shuffle
+        # the relative gate alone is not enough: at 3e8 vertices, n/32
+        # changed rows × ~m-byte sketches is gigabytes — more than the
+        # driver can collect or Spark will broadcast. Cap absolutely at
+        # the same size the merged-message side uses below.
         local = (
             local_frontier_frac > 0
             and changed <= n_vertices * local_frontier_frac
+            and changed <= local_frontier_max
         )
         if local:
             local_steps += 1

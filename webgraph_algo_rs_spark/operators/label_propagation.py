@@ -63,8 +63,7 @@ def label_propagation(
     """
     spark = edges.sparkSession
     if (
-        checkpoint is None
-        and not bucketize_edges
+        not bucketize_edges
         and local_mode is not False
         and (local_mode or block_size is None)
     ):
@@ -79,15 +78,16 @@ def label_propagation(
         thr = local_kernel_threshold(spark)
         big_thr = bucketize_min_edges(spark)
         n_edges = probe_edge_count(edges, max(thr, big_thr))
-        if n_edges == 0:
+        if n_edges == 0 and checkpoint is None:
             if stats is not None:
                 stats.update(iterations=0, changed=0)
             return spark.createDataFrame([], "vertex bigint, label bigint")
         if not local_mode and n_edges > big_thr:
             # size dispatch, upper end (see components.py): route huge
-            # graphs to the persist-chain path, not the blocked loop
+            # graphs to the persist-chain path, not the blocked loop —
+            # checkpointed runs included
             bucketize_edges = True
-        elif local_mode or n_edges <= thr:
+        elif checkpoint is None and (local_mode or n_edges <= thr):
             out = run_local_kernel(
                 edges,
                 "vertex bigint, label bigint, iterations int, changed bigint",
@@ -104,8 +104,13 @@ def label_propagation(
         block_size = 4
     drop_bucketed = None
     if bucketize_edges:
+        # probe the raw scan — see components.py: the symmetrize plan's
+        # groupBy defeats limit() short-circuiting, and the ≤2× raw
+        # undercount only shifts a near-threshold pick onto the
+        # spill-safe cached store.
         sym, drop_bucketed = pin_edges(
-            symmetrize(edges), SRC, table_name="wga_lpa_edges", store=edge_store
+            symmetrize(edges), SRC, table_name="wga_lpa_edges", store=edge_store,
+            probe_df=edges,
         )
     else:
         sym = materialize(symmetrize(edges))

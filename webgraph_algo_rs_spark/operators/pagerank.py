@@ -83,9 +83,9 @@ def pagerank(
     spark = edges.sparkSession
     edges = edges.select(SRC, DST, W)
 
+    probed_edges = None
     local_eligible = (
-        checkpoint is None
-        and not bucketize_edges
+        not bucketize_edges
         and local_mode is not False
         and (local_mode or block_size is None)
     )
@@ -100,16 +100,18 @@ def pagerank(
 
         thr = local_kernel_threshold(spark)
         big_thr = bucketize_min_edges(spark)
-        n_edges = probe_edge_count(edges, max(thr, big_thr))
-        if n_edges == 0:
+        n_edges = probed_edges = probe_edge_count(edges, max(thr, big_thr))
+        if n_edges == 0 and checkpoint is None:
             if stats is not None:
                 stats.update(iterations=0, residual=0.0, n_vertices=0, wall_sec=0.0)
             return spark.createDataFrame([], "vertex bigint, rank double")
         if not local_mode and n_edges > big_thr:
             # size dispatch, upper end (see components.py): huge graphs
-            # go to the persist-chain big-graph path automatically
+            # go to the persist-chain big-graph path automatically —
+            # checkpointed runs included (durability must not demote a
+            # huge graph onto the per-step materialize loop)
             bucketize_edges = True
-        elif local_mode or n_edges <= thr:
+        elif checkpoint is None and (local_mode or n_edges <= thr):
             t0 = time.time()
             out = run_local_kernel(
                 edges,
@@ -161,8 +163,11 @@ def pagerank(
         # per-superstep scan to one task), up to the session's
         # configured shuffle parallelism.
         # the normalize join is row-preserving, so |edges| == |norm_plan|
-        # and the cheaper pre-join scan sizes it
-        n_edges = edges.count()
+        # and the cheaper pre-join scan sizes it. Reuse the dispatch
+        # probe when it ran: exact on this branch (> big_thr would have
+        # routed to bucketize), and even a capped probe already
+        # saturates p at n_buckets — no second scan of the edge table.
+        n_edges = probed_edges if probed_edges is not None else edges.count()
         p = min(n_buckets, max(n, n_edges) // 20_000 + 1)
         norm_edges = materialize(norm_plan.coalesce(p))
     base_plan = vertices.join(out_w, vertices.vertex == out_w[SRC], "left").select(

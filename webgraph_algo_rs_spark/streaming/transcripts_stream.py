@@ -36,12 +36,28 @@ def _hadoop_exists(spark: SparkSession, path: str) -> bool:
 
 
 def _hadoop_replace(spark: SparkSession, src: str, dst: str) -> None:
-    """Move ``src`` over ``dst`` (delete + rename)."""
+    """Move ``src`` over ``dst`` crash-safely. The live ``dst`` is never
+    deleted before the new copy is in place: it is renamed aside to
+    ``dst.__old`` first, so at every instant the primary or the backup
+    exists (restart seeding checks both). Hadoop's ``FileSystem.rename``
+    reports failure by returning false rather than throwing — every
+    result is checked, and a failed final rename restores the backup
+    before raising (ADVICE r3 follow-up: a swallowed rename failure here
+    would surface as silent vertex-id re-derivation on the next run)."""
     fs, jsrc = _hadoop_fs(spark, src)
     _, jdst = _hadoop_fs(spark, dst)
-    if fs.exists(jdst):
-        fs.delete(jdst, True)
-    fs.rename(jsrc, jdst)
+    _, jold = _hadoop_fs(spark, dst.rstrip("/") + ".__old")
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    had_dst = bool(fs.exists(jdst))
+    if had_dst and not fs.rename(jdst, jold):
+        raise IOError(f"rename {dst} -> {dst}.__old failed")
+    if not fs.rename(jsrc, jdst):
+        if had_dst:
+            fs.rename(jold, jdst)  # put the live copy back
+        raise IOError(f"rename {src} -> {dst} failed")
+    if had_dst:
+        fs.delete(jold, True)
 
 
 def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
@@ -82,6 +98,16 @@ def incremental_edges(
 
     spark = full_transcripts.sparkSession
     seeded = None
+    if dict_path is not None and not _hadoop_exists(spark, dict_path):
+        # a crash between _hadoop_replace's two renames leaves the
+        # previous dictionary parked at the backup path — restore it
+        # instead of falling through to silent id re-derivation
+        bak = dict_path.rstrip("/") + ".__old"
+        if _hadoop_exists(spark, bak):
+            fs, jbak = _hadoop_fs(spark, bak)
+            _, jdst = _hadoop_fs(spark, dict_path)
+            if not fs.rename(jbak, jdst):
+                raise IOError(f"restore {bak} -> {dict_path} failed")
     if dict_path is not None and _hadoop_exists(spark, dict_path):
         # the dictionary exists → it MUST be readable. A bare fallback
         # here would silently re-derive ids from full_transcripts while
