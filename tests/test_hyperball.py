@@ -208,6 +208,22 @@ def test_hyperball_local_mode_lockstep(spark):
     assert s_local["local_supersteps"] == s_local["iterations"]
     assert s_off["local_supersteps"] == 0
 
+    # the absolute cap overrides the relative gate: even with every
+    # superstep's frontier under frac=1.0, local_frontier_max=0 must
+    # keep the loop on the shuffled path (the 1e8-vertex guard — n/32
+    # rows of m-byte sketches is not broadcastable) with identical
+    # output
+    s_cap: dict = {}
+    capped = {
+        r["vertex"]: (r["reachable"], r["sum_distances"], r["harmonic"])
+        for r in hyperball(
+            df, log2m=6, stats=s_cap, local_frontier_frac=1.0,
+            local_frontier_max=0, local_mode=False,
+        ).collect()
+    }
+    assert capped == off
+    assert s_cap["local_supersteps"] == 0
+
 
 def test_hyperball_local_matches_distributed(spark):
     """The partition-local CSR HyperBall kernel must be bit-identical
