@@ -465,6 +465,39 @@ def test_local_csr_matches_distributed(spark):
             assert loc == dist, (name, cap)
             assert s_loc["iterations"] == s_dist["iterations"], (name, cap)
 
+        tri_loc = {
+            r["vertex"]: r["n_triangles"]
+            for r in triangle_count_per_vertex(df, local_mode=True).collect()
+        }
+        tri_dist = {
+            r["vertex"]: r["n_triangles"]
+            for r in triangle_count_per_vertex(df, local_mode=False).collect()
+        }
+        assert tri_loc == tri_dist, name
+        assert (
+            triangle_count_global(df, local_mode=True).first()[0]
+            == triangle_count_global(df, local_mode=False).first()[0]
+        ), name
+
+
+def test_triangles_kernel_wedge_chunking_exact(spark):
+    """The wedge expansion chunks on a cumulative-out-degree budget;
+    a budget of 1 forces one chunk per edge (every boundary case) and
+    must still produce the exact counts."""
+    import pandas as pd
+
+    from webgraph_algo_rs_spark.plans.local_csr import triangles_kernel
+
+    arcs = GRAPHS["complete5"]
+    per_want, total_want = triangles_oracle([(u, v, 1.0) for u, v in arcs])
+    pdf = pd.DataFrame(
+        {"src_vertex": [a for a, _ in arcs], "dst_vertex": [b for _, b in arcs]}
+    )
+    out = triangles_kernel(max_wedge_chunk=1)(pdf)
+    got = dict(zip(out["vertex"], out["n_triangles"]))
+    assert {v: got.get(v, 0) for v in per_want} == per_want
+    assert sum(got.values()) == 3 * total_want
+
 
 def test_local_csr_auto_dispatch_threshold(spark):
     """Auto mode takes the local kernel only under the size threshold:

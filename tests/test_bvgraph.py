@@ -316,5 +316,8 @@ def test_cnr2000_cc_and_triangles_vs_numpy(cnr_spark):
     )
     assert np.array_equal(got_hist_dist, want_seen_hist)
 
+    # auto dispatch = local-CSR kernel at 3.2M edges; pin BOTH paths
     got_triangles = triangle_count_global(edges).first()[0]
     assert int(got_triangles) == int(want_triangles)
+    got_tri_dist = triangle_count_global(edges, local_mode=False).first()[0]
+    assert int(got_tri_dist) == int(want_triangles)

@@ -17,11 +17,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_algo_rs_spark.plans.local_csr import (
+    local_kernel_threshold,
+    probe_edge_count,
+    run_local_kernel,
+    triangles_kernel,
+)
 from webgraph_algo_rs_spark.plans.superstep import (
     graph_vertices,
     materialize,
     undirected_canonical,
 )
+
+
+def _local_counts(edges: DataFrame, local_mode: bool | None) -> DataFrame | None:
+    """Size dispatch (see ``components.py``): below
+    ``wga.localKernelMaxEdges`` the whole count runs as one vectorized
+    CSR task — the distributed plan's two shuffled joins are pure
+    overhead at that size. Returns ``None`` when the graph must stay on
+    the distributed join plan (the 100 TB path). The probe is capped at
+    the threshold, so dispatch never scans a huge edge table."""
+    if local_mode is False:
+        return None
+    thr = local_kernel_threshold(edges.sparkSession)
+    if not local_mode and probe_edge_count(edges, thr) > thr:
+        return None
+    return run_local_kernel(
+        edges,
+        "vertex bigint, n_triangles bigint",
+        triangles_kernel(),
+        with_weight=False,
+    )
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
@@ -58,13 +84,23 @@ def _triangles(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count_global(edges: DataFrame) -> DataFrame:
+def triangle_count_global(edges: DataFrame, local_mode: bool | None = None) -> DataFrame:
     """One row ``(n_triangles:bigint)``."""
+    local = _local_counts(edges, local_mode)
+    if local is not None:
+        # every triangle credits its three corners, so the corner sum is
+        # exactly 3·count (integer-exact); empty edge table → sum NULL → 0
+        return local.agg(
+            F.expr("coalesce(sum(n_triangles), 0L) div 3").alias("n_triangles")
+        )
     return _triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
+def triangle_count_per_vertex(edges: DataFrame, local_mode: bool | None = None) -> DataFrame:
     """``(vertex:bigint, n_triangles:bigint)`` — zero-filled for all vertices."""
+    local = _local_counts(edges, local_mode)
+    if local is not None:
+        return local
     tri = _triangles(edges)
     corners = (
         tri.select(F.col("u").alias("vertex"))

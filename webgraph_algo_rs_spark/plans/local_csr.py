@@ -664,3 +664,62 @@ def lpa_kernel(max_iter: int) -> Callable[[pd.DataFrame], pd.DataFrame]:
         )
 
     return kernel
+
+
+def triangles_kernel(
+    max_wedge_chunk: int = 32_000_000,
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """CSR exact per-vertex triangle counts — the exact semantics of
+    ``operators/triangles.py`` (canonical ``a<b`` dedupe, self-loops
+    dropped, orient by ``(degree, id)``, zero-filled over every vertex
+    of the raw edge table; reference parity `src/main.rs` E5 consumers).
+
+    The wedge expansion — the only super-linear step — is processed in
+    chunks of ≤ ``max_wedge_chunk`` wedges (boundaries found on the
+    cumulative out-degree sum), so peak memory stays bounded no matter
+    how skewed the wedge distribution is; counts accumulate via
+    ``bincount`` per chunk. Integer-exact, so bit-identical to the
+    distributed join plan by construction.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf[SRC].to_numpy(np.int64)
+        dst = pdf[DST].to_numpy(np.int64)
+        verts, src_i, dst_i = _vertex_index(src, dst)
+        nv = len(verts)
+        counts = np.zeros(nv, dtype=np.int64)
+        mask = src_i != dst_i
+        if mask.any():
+            a0 = np.minimum(src_i[mask], dst_i[mask])
+            b0 = np.maximum(src_i[mask], dst_i[mask])
+            keys = np.unique(a0 * np.int64(nv) + b0)
+            a, b = keys // nv, keys % nv
+            deg = np.bincount(a, minlength=nv) + np.bincount(b, minlength=nv)
+            # a < b always holds, so the (deg, id) tie-break reduces to
+            # "a first on equal degrees" — same rule as _oriented()
+            lower_first = deg[a] <= deg[b]
+            u = np.where(lower_first, a, b)
+            v = np.where(lower_first, b, a)
+            indptr, indices = _csr(u, v, nv)
+            ekeys = np.sort(u * np.int64(nv) + v)
+            # chunk boundaries on the wedge budget: edge i contributes
+            # out_deg(v_i) wedges
+            wedge_cum = np.cumsum(indptr[v + 1] - indptr[v])
+            s = 0
+            while s < len(u):
+                budget = (wedge_cum[s - 1] if s else 0) + max_wedge_chunk
+                e = max(int(np.searchsorted(wedge_cum, budget, side="right")), s + 1)
+                uu, vv = u[s:e], v[s:e]
+                w_, rep = _gather(indptr, indices, vv)
+                cu = uu[rep]
+                wk = cu * np.int64(nv) + w_
+                pos = np.searchsorted(ekeys, wk)
+                pos_c = np.minimum(pos, len(ekeys) - 1)
+                closed = (pos < len(ekeys)) & (ekeys[pos_c] == wk)
+                counts += np.bincount(cu[closed], minlength=nv)
+                counts += np.bincount(vv[rep][closed], minlength=nv)
+                counts += np.bincount(w_[closed], minlength=nv)
+                s = e
+        return pd.DataFrame({"vertex": verts, "n_triangles": counts})
+
+    return kernel
