@@ -195,6 +195,23 @@ def test_bfs_fixtures(spark):
             assert got == want, (lm, s)
 
 
+def test_bfs_unbounded_depth_beyond_legacy_cap(spark):
+    """BFS must run until the frontier empties, not to a hidden level
+    cap: an earlier default of max_depth=10_000 silently truncated a
+    >10k-eccentricity flood, which would make ExactSumSweep certify a
+    wrong diameter on a long path graph. An explicit cap must still
+    truncate (it is the documented opt-in)."""
+    n = 12_001  # path 0-1-...-12000: ecc(0) = 12000 > the old cap
+    arcs = [(i, i + 1) for i in range(n - 1)]
+    df = edge_df(spark, arcs)
+    got = bfs_distances(df, [0], local_mode=True)
+    assert got.count() == n
+    far = got.orderBy(F.desc("distance")).first()
+    assert (far["vertex"], far["distance"]) == (n - 1, n - 1 - 0)
+    capped = bfs_distances(df, [0], max_depth=100, local_mode=True)
+    assert capped.count() == 101
+
+
 def test_topsort_and_acyclicity(spark):
     dag = edge_df(spark, DAG4)
     layers = {r["vertex"]: r["layer"] for r in kahn_layers(dag).collect()}

@@ -269,6 +269,31 @@ def test_cosine_topk_ivf_kernel_matches_expression_path(vectors):
         assert sorted(map(key, fast)) == sorted(map(key, slow)), (n_lists, n_probe, k)
 
 
+def test_cosine_topk_ivf_boundary_ties_deterministic(spark):
+    """Exact-duplicate embeddings tying at the k-th cosine exercise the
+    re-rank kernel's argpartition fast path (list width > 4k): the
+    partition picks an arbitrary subset of the tied members, so the
+    kernel must detect boundary ties and restore the engine tie order
+    (cosine desc, neighbor_id asc) — identical rows to the expression
+    path, which sorts exhaustively."""
+    from webgraph_algo_rs_spark.functions.similarity import cosine_topk_ivf
+
+    rng = np.random.default_rng(11)
+    dup = rng.standard_normal(8)
+    rows = [(i, [float(x) for x in dup]) for i in range(50)]  # 50 exact dups
+    rows += [
+        (50 + i, [float(x) for x in rng.standard_normal(8)]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for k in (3, 5):
+        fast = cosine_topk_ivf(df, k=k, n_lists=1, n_probe=1).collect()
+        slow = cosine_topk_ivf(
+            df, k=k, n_lists=1, n_probe=1, vectorized=False
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+        assert sorted(map(key, fast)) == sorted(map(key, slow)), k
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (0, "image", bytearray(b"\x89PNG" + b"x" * 2048), 64, 64, None),
@@ -285,6 +310,42 @@ def test_multimodal_plumbing(spark):
     # deterministic: same payload → same features
     again = {r["media_id"]: r for r in extract_media_features(media, feat_dim=16).collect()}
     assert got[0]["feature"] == again[0]["feature"]
+
+
+def test_decode_failure_quarantined_not_fatal(spark):
+    """A payload that PASSES the header probe but fails decode
+    (progressive JPEG: SOF2 probes with valid dimensions, the baseline
+    decoder rejects it) must not abort the Spark job — transcode emits
+    a NULL-payload row, the feature path a NULL-feature sentinel with
+    frames_sampled = -1, and healthy rows in the same batch survive."""
+    from webgraph_algo_rs_spark.functions.multimodal import (
+        decode_builtin,
+        encode_bmp,
+        probe_gated_features,
+        probe_media,
+        transcode_media,
+    )
+
+    # minimal progressive JPEG header: SOI + SOF2 frame (8x8, 1 comp)
+    sof2 = bytes(
+        [0xFF, 0xD8, 0xFF, 0xC2, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    assert probe_media(sof2)[:3] == ("jpeg", 8, 8)  # the gate passes it
+    good = encode_bmp(np.arange(16, dtype=np.float32).reshape(4, 4))
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(sof2), 8, 8, None),
+            (1, "image", bytearray(good), 4, 4, None),
+        ],
+        "media_id bigint, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    out, _q = transcode_media(media, 2, 2)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[0]["payload"] is None and rows[1]["payload"] is not None
+    feats, _q = probe_gated_features(media, feat_dim=4, decode=decode_builtin)
+    frows = {r["media_id"]: r for r in feats.collect()}
+    assert frows[0]["feature"] is None and frows[0]["frames_sampled"] == -1
+    assert frows[1]["feature"] is not None and frows[1]["frames_sampled"] >= 1
 
 
 def test_embedding_near_dup_pairs(vectors):

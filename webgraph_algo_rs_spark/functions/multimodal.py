@@ -189,9 +189,22 @@ def transcode_media(media: DataFrame, width: int, height: int) -> tuple[DataFram
                 _fmt, _w, _h, _d, ok = _probe_row(raw, dw, dh, dms)
                 if not ok:
                     continue
+                try:
+                    out = resize_media(raw, width, height)
+                except Exception:
+                    # the probe reads only the container header, so a
+                    # payload can pass the gate and still fail decode
+                    # (progressive JPEG, truncated PNG IDAT, corrupt
+                    # entropy stream). One bad asset must not kill a
+                    # 100 TB transcode job after task retries: surface
+                    # it as a NULL-payload row (filter `payload IS NOT
+                    # NULL` downstream) instead of raising out of the
+                    # task. Before this guard these inputs crashed the
+                    # whole job, so the sentinel changes no green path.
+                    out = None
                 ids.append(mid)
                 kinds.append(kind)
-                payloads.append(resize_media(raw, width, height))
+                payloads.append(out)
             if not ids:  # all-quarantined batch: empty ndarray columns
                 continue  # don't Arrow-cast to binary
             yield pd.DataFrame(
@@ -860,10 +873,13 @@ def probe_gated_features(
     quarantine frame with the probe evidence attached.
 
     Returns ``(features, quarantine)``. The decode stage never sees a
-    corrupt or mislabeled payload, so the decoder (the built-in
-    :func:`decode_builtin` or one plugged into ``decode=``) cannot be
-    crashed by them — probe-gating is what makes paying the decode cost
-    safe at ingest scale. The gate runs *inline* in the decode pass
+    payload whose container header fails to parse or contradicts the
+    declared metadata. The probe reads only the header, though — a
+    gated payload can still fail decode (unsupported coding mode,
+    truncated stream), so the decoder (the built-in
+    :func:`decode_builtin` or one plugged into ``decode=``) runs under
+    a per-row guard: a failure yields a sentinel row (``feature`` NULL,
+    ``frames_sampled = -1``) instead of aborting the job. The gate runs *inline* in the decode pass
     (header probe = a few byte reads), not as a semi-join against the
     probe table: a join would shuffle the payload-carrying table on
     ``media_id``, the one column move to avoid at 100 TB of assets.
@@ -884,12 +900,21 @@ def probe_gated_features(
                 _fmt, _w, _h, _d, ok = _probe_row(raw, dw, dh, dms)
                 if not ok:
                     continue
-                f, fr = decode(raw, kind, feat_dim)
+                try:
+                    f, fr = decode(raw, kind, feat_dim)
+                    feat, frames_n = f.tolist(), fr
+                except Exception:
+                    # header-probe ≠ decodable (see transcode_media): a
+                    # decode failure surfaces as a sentinel row
+                    # (feature NULL, frames_sampled = -1) rather than
+                    # killing the ingest job — previously these inputs
+                    # aborted the task, so no green path changes
+                    feat, frames_n = None, -1
                 ids.append(mid)
                 kinds.append(kind)
                 nbytes.append(len(raw))
-                feats.append(f.tolist())
-                frames.append(fr)
+                feats.append(feat)
+                frames.append(frames_n)
             if not ids:  # all-quarantined batch: empty ndarray columns
                 continue  # don't Arrow-cast to list<float>
             yield pd.DataFrame(

@@ -463,6 +463,17 @@ def _ivf_rerank_kernel(
         if S.shape[1] > 4 * kk:
             part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
             sub = np.take_along_axis(S, part, axis=1)
+            # argpartition picks an ARBITRARY subset of members tied at
+            # the k-th cosine, but the engine tie order wants the
+            # smallest member ids. Rows where the tie straddles the
+            # boundary (more row entries equal the boundary value than
+            # were selected) fall back to the stable full sort — only
+            # exact-duplicate embeddings hit this
+            b = sub.min(axis=1)
+            amb = (S == b[:, None]).sum(axis=1) > (sub == b[:, None]).sum(axis=1)
+            if amb.any():
+                part[amb] = np.argsort(-S[amb], axis=1, kind="stable")[:, :kk]
+                sub = np.take_along_axis(S, part, axis=1)
             # re-sort the k slice: order by (-cosine, member position)
             ord_in = np.lexsort((part, -sub), axis=1)
             top = np.take_along_axis(part, ord_in, axis=1)

@@ -14,6 +14,8 @@ needs one filtered BFS *per component pivot*
 
 from __future__ import annotations
 
+from itertools import count
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,7 +25,7 @@ from webgraph_algo_rs_spark.plans.superstep import SRC, DST, materialize
 def bfs_distances(
     edges: DataFrame,
     sources: list[int] | DataFrame,
-    max_depth: int = 10_000,
+    max_depth: int | None = None,
     predecessors: bool = False,
     vertex_filter: DataFrame | None = None,
     local_mode: bool | None = None,
@@ -33,6 +35,14 @@ def bfs_distances(
 
     Unreached vertices are absent (the reference's ``Unknown``-only event
     stream — ``breadth_first/mod.rs:23-68``).
+
+    ``max_depth=None`` (default) runs until every frontier empties —
+    always terminates (each level claims ≥1 new vertex, so ≤ |V|
+    levels). An int caps the flood at that many levels; distances beyond
+    it are absent, so a cap silently truncates long floods — never pass
+    one from an algorithm whose correctness needs full eccentricities
+    (ExactSumSweep learned this the hard way: a 10⁴ default here would
+    mis-certify the diameter of a 20k-vertex path graph).
 
     ``predecessors=True`` adds ``pred`` — the *minimum* predecessor that
     discovered the vertex (``NULL`` for sources). The reference's
@@ -121,7 +131,8 @@ def bfs_distances(
             "source", "vertex", F.lit(0).cast("long").alias("distance"), *pred_cols
         )
     )
-    for depth in range(1, max_depth + 1):
+    depths = count(1) if max_depth is None else range(1, max_depth + 1)
+    for depth in depths:
         disc = frontier.join(e, frontier["vertex"] == e[SRC]).select(
             "source", e[DST].alias("vertex"), frontier["vertex"].alias("pv")
         )

@@ -70,6 +70,15 @@ def connected_components(
     Exact: min-label exchange is ordering-insensitive integer math.
     """
     spark = edges.sparkSession
+    if local_mode and (checkpoint is not None or bucketize_edges):
+        # an explicit force must not be silently overridden (the other
+        # strategies demand a different physical plan): the local kernel
+        # runs the whole loop inside one task, so per-iteration durable
+        # checkpoints / pinned edge buckets cannot apply to it
+        raise ValueError(
+            "local_mode=True cannot be combined with "
+            + ("checkpoint" if checkpoint is not None else "bucketize_edges")
+        )
     if (
         not bucketize_edges
         and local_mode is not False

@@ -310,7 +310,7 @@ def hyperball(
             # frontier (a hub's predecessors), hence the explicit count
             # gate rather than trusting `changed` alone.
             merged = materialize(merged)
-            if merged.count() <= 200_000:
+            if merged.count() <= local_frontier_max:
                 merged = F.broadcast(merged)
         t = float(it)
         # join-then-union: only vertices with an incoming message pay the

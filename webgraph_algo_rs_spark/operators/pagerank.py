@@ -83,6 +83,15 @@ def pagerank(
     spark = edges.sparkSession
     edges = edges.select(SRC, DST, W)
 
+    if local_mode and (checkpoint is not None or bucketize_edges):
+        # an explicit force must not be silently overridden (the other
+        # strategies demand a different physical plan): the local kernel
+        # runs the whole loop inside one task, so per-iteration durable
+        # checkpoints / pinned edge buckets cannot apply to it
+        raise ValueError(
+            "local_mode=True cannot be combined with "
+            + ("checkpoint" if checkpoint is not None else "bucketize_edges")
+        )
     probed_edges = None
     local_eligible = (
         not bucketize_edges
@@ -164,11 +173,15 @@ def pagerank(
         # configured shuffle parallelism.
         # the normalize join is row-preserving, so |edges| == |norm_plan|
         # and the cheaper pre-join scan sizes it. Reuse the dispatch
-        # probe when it ran: exact on this branch (> big_thr would have
-        # routed to bucketize), and even a capped probe already
-        # saturates p at n_buckets — no second scan of the edge table.
-        n_edges = probed_edges if probed_edges is not None else edges.count()
-        p = min(n_buckets, max(n, n_edges) // 20_000 + 1)
+        # probe when it ran; otherwise probe capped at the saturation
+        # point (p maxes out at n_buckets once the count reaches
+        # n_buckets·20k rows) — never a full pass over the edge table
+        # just to size a coalesce.
+        if probed_edges is None:
+            from webgraph_algo_rs_spark.plans.local_csr import probe_edge_count
+
+            probed_edges = probe_edge_count(edges, n_buckets * 20_000)
+        p = min(n_buckets, max(n, probed_edges) // 20_000 + 1)
         norm_edges = materialize(norm_plan.coalesce(p))
     base_plan = vertices.join(out_w, vertices.vertex == out_w[SRC], "left").select(
         "vertex", F.col("out_w").isNull().alias("dangling")

@@ -37,6 +37,8 @@ choosing it *per subgraph* under a distributed planner.
 
 from __future__ import annotations
 
+from itertools import count
+
 from typing import Callable, Iterator
 
 import numpy as np
@@ -233,7 +235,7 @@ _EMIT_ROWS = 500_000  # buffered kernel output rows per Arrow batch
 def bfs_local(
     edges: DataFrame,
     sources: DataFrame,
-    max_depth: int,
+    max_depth: int | None,
     predecessors: bool,
     vertex_filter: DataFrame | None,
 ) -> DataFrame:
@@ -303,10 +305,15 @@ def bfs_local(
 
 
 def bfs_kernel(
-    max_depth: int, predecessors: bool, has_filter: bool, per_source: bool
+    max_depth: int | None, predecessors: bool, has_filter: bool, per_source: bool
 ) -> Callable[[pd.DataFrame], Iterator[pd.DataFrame]]:
     """Vectorized multi-source BFS over the union-encoded input frame
-    (see :func:`bfs_local`). Yields buffered row batches."""
+    (see :func:`bfs_local`). Yields buffered row batches.
+    ``max_depth=None`` = until the frontier empties (see
+    ``operators.bfs.bfs_distances`` — a finite cap silently truncates)."""
+
+    def _depths():
+        return count(1) if max_depth is None else range(1, max_depth + 1)
 
     def kernel(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
         role = pdf["role"].to_numpy(np.int8)
@@ -375,7 +382,7 @@ def bfs_kernel(
                 pred = np.full(nm, -1, dtype=np.int64)
                 dist[p] = 0
                 frontier = np.array([p], dtype=np.int64)
-                for depth in range(1, max_depth + 1):
+                for depth in _depths():
                     neigh, rep = _gather(indptr, indices, mi[frontier])
                     if neigh.size == 0:
                         break
@@ -410,7 +417,7 @@ def bfs_kernel(
                 pred = np.full(nv, -1, dtype=np.int64)
                 dist[si] = 0
                 frontier = np.array([si], dtype=np.int64)
-                for depth in range(1, max_depth + 1):
+                for depth in _depths():
                     neigh, rep = _gather(indptr, indices, frontier)
                     if neigh.size == 0:
                         break

@@ -298,9 +298,12 @@ def pin_edges(
     result is materialized off the edge table's lineage.
     """
     if store == "auto":
-        thr = int(
-            df.sparkSession.conf.get("wga.cachedEdgesMaxEdges", "1000000000")
-        )
+        try:
+            thr = int(
+                df.sparkSession.conf.get("wga.cachedEdgesMaxEdges", "1000000000")
+            )
+        except (TypeError, ValueError):
+            thr = 1_000_000_000
         store = (
             "cached"
             if (probe_df if probe_df is not None else df).limit(thr + 1).count()
