@@ -141,10 +141,13 @@ def main() -> None:
                     "(idle-box re-run: BASELINE.md attribution table, "
                     "bench_logs/bench_r4_idle.log); "
                     "r4 speedup is the size-dispatched local-CSR kernels "
-                    "(plans/local_csr.py) + window-folded LSH guards "
+                    "(plans/local_csr.py — PageRank/CC/LPA/BFS/HyperBall/"
+                    "triangles) + window-folded LSH guards "
                     "(functions/dedup.py) — distributed plans unchanged, "
                     "dispatch thresholds keep cluster-scale graphs on the "
-                    "bucketed/persist-chain paths"
+                    "bucketed/persist-chain paths; 8->32 scaling on one box "
+                    "is memory-bandwidth-bound (see BASELINE.md), the N->4N "
+                    "criterion is evidenced at 2->8"
                 ),
             }
         )
