@@ -517,6 +517,56 @@ def q_radius_diameter_fast_events(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("radius", "diameter")
 
 
+def q_diameter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected single-scalar Diameter level (reference
+    ``Diameter::compute_undirected``, `output_level.rs:290-360`): only
+    the diameter-side open set is targeted; the witness is attained but
+    tie-unspecified at early stop, so the oracle compares the value."""
+    from webgraph_algo_rs_spark.operators import diameter_undirected
+
+    return diameter_undirected(_events_edges(spark, sf_dir)).select("diameter")
+
+
+def q_radius_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected single-scalar Radius level (reference
+    ``Radius::compute_undirected``, `output_level.rs:362-451`)."""
+    from webgraph_algo_rs_spark.operators import radius_undirected
+
+    return radius_undirected(_events_edges(spark, sf_dir)).select("radius")
+
+
+def q_diameter_directed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed single-scalar Diameter level (reference
+    ``Diameter::compute_directed``, `output_level.rs:66-150`): certifies
+    D_L = max(max low_f, max low_b) from whichever side empties first;
+    never computes the radial set."""
+    from webgraph_algo_rs_spark.operators import diameter_directed
+
+    return diameter_directed(_events_edges(spark, sf_dir)).select("diameter")
+
+
+def q_radius_directed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed single-scalar Radius level (reference
+    ``Radius::compute_directed``, `output_level.rs:152-243`): radius =
+    min ecc_f over the radial set; the diameter side is never
+    targeted."""
+    from webgraph_algo_rs_spark.operators import radius_directed
+
+    return radius_directed(_events_edges(spark, sf_dir)).select("radius")
+
+
+def q_ecc_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed AllForward level (reference `output_level.rs:24-38`):
+    every forward eccentricity closed exactly, backward never
+    certified. Per-vertex exact output, so the oracle hashes all
+    rows."""
+    from webgraph_algo_rs_spark.operators import forward_eccentricities
+
+    return forward_eccentricities(_events_edges(spark, sf_dir)).select(
+        "vertex", "ecc_f"
+    )
+
+
 def q_ecc_directed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed ExactSumSweep, output level All (forward/backward
     eccentricities with reachable-set semantics)."""
@@ -1147,6 +1197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricities_events": q_eccentricities_events,
         "radius_diameter_events": q_radius_diameter_events,
         "radius_diameter_fast_events": q_radius_diameter_fast_events,
+        "diameter_events": q_diameter_events,
+        "radius_events": q_radius_events,
+        "diameter_directed_events": q_diameter_directed_events,
+        "radius_directed_events": q_radius_directed_events,
+        "ecc_forward_events": q_ecc_forward_events,
         "ecc_directed_events": q_ecc_directed_events,
         "radius_diameter_directed_events": q_radius_diameter_directed_events,
         "radius_diameter_directed_fast_events": q_radius_diameter_directed_fast_events,
@@ -1368,6 +1423,79 @@ FROM ecc
 SELECT CAST(min(ecc) AS BIGINT) AS radius,
        CAST(max(ecc) AS BIGINT) AS diameter
 FROM ecc
+""",
+        "diameter_events": _EG + """
+, r(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT r.s, e.d, r.d + 1 FROM r JOIN sym e ON r.v = e.s WHERE r.d < 100
+), dist AS (
+  SELECT s, v, min(d) AS d FROM r GROUP BY s, v
+), ecc AS (
+  SELECT s AS vertex, max(d) AS ecc FROM dist GROUP BY s
+)
+SELECT CAST(max(ecc) AS BIGINT) AS diameter FROM ecc
+""",
+        "radius_events": _EG + """
+, r(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT r.s, e.d, r.d + 1 FROM r JOIN sym e ON r.v = e.s WHERE r.d < 100
+), dist AS (
+  SELECT s, v, min(d) AS d FROM r GROUP BY s, v
+), ecc AS (
+  SELECT s AS vertex, max(d) AS ecc FROM dist GROUP BY s
+)
+SELECT CAST(min(ecc) AS BIGINT) AS radius FROM ecc
+""",
+        "diameter_directed_events": _EG + """
+, rf(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT rf.s, e.dst_vertex, rf.d + 1
+  FROM rf JOIN eg e ON rf.v = e.src_vertex WHERE rf.d < 100
+), distf AS (SELECT s, v, min(d) AS d FROM rf GROUP BY s, v),
+eccf AS (SELECT s AS vertex, max(d) AS e FROM distf GROUP BY s)
+SELECT CAST(max(e) AS BIGINT) AS diameter FROM eccf
+""",
+        "radius_directed_events": _EG + """
+, rf(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT rf.s, e.dst_vertex, rf.d + 1
+  FROM rf JOIN eg e ON rf.v = e.src_vertex WHERE rf.d < 100
+), distf AS (SELECT s, v, min(d) AS d FROM rf GROUP BY s, v),
+eccf AS (SELECT s AS vertex, max(d) AS e FROM distf GROUP BY s),
+scc0 AS (
+  SELECT r1.s AS v, min(r1.v) AS minw
+  FROM distf r1 JOIN distf r2 ON r1.s = r2.v AND r1.v = r2.s
+  GROUP BY r1.s
+),
+scc AS (
+  SELECT vt.v AS vertex, least(vt.v, coalesce(s.minw, vt.v)) AS component
+  FROM verts vt LEFT JOIN scc0 s ON vt.v = s.v
+),
+bigc AS (
+  SELECT component FROM scc GROUP BY component
+  ORDER BY count(*) DESC, component ASC LIMIT 1
+),
+radial AS (
+  SELECT DISTINCT df.s AS vertex
+  FROM distf df JOIN scc ON df.v = scc.vertex
+  WHERE scc.component = (SELECT component FROM bigc)
+)
+SELECT CAST(min(e) AS BIGINT) AS radius FROM eccf JOIN radial USING (vertex)
+""",
+        "ecc_forward_events": _EG + """
+, rf(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT rf.s, e.dst_vertex, rf.d + 1
+  FROM rf JOIN eg e ON rf.v = e.src_vertex WHERE rf.d < 100
+), distf AS (SELECT s, v, min(d) AS d FROM rf GROUP BY s, v)
+SELECT vt.v AS vertex,
+       CAST((SELECT max(d) FROM distf WHERE distf.s = vt.v) AS BIGINT) AS ecc_f
+FROM verts vt
 """,
         "ecc_directed_events": _EG + """
 , rf(s, v, d) AS (

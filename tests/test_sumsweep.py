@@ -316,3 +316,80 @@ def test_undirected_radius_diameter_fast_level(spark, arcs_name):
     ecc = {r.vertex: r.ecc for r in eccentricities(df).collect()}
     assert ecc[got.radius_vertex] == got.radius
     assert ecc[got.diameter_vertex] == got.diameter
+
+
+# ------------------------------------------------ single-scalar levels
+
+
+def test_scalar_levels_fixtures(spark):
+    """Diameter/Radius/AllForward output levels on the reference's
+    hand-made fixtures (`output_level.rs:66-243,290-451`): each level
+    must certify the same scalar the All level computes, at no more
+    rounds."""
+    from webgraph_algo_rs_spark.operators import (
+        diameter_directed,
+        diameter_undirected,
+        forward_eccentricities,
+        radius_directed,
+        radius_undirected,
+    )
+
+    # undirected path / star
+    for arcs, want_r, want_d in [(PATH5, 2, 4), (STAR6, 1, 2)]:
+        edges = edge_df(spark, arcs)
+        assert diameter_undirected(edges).first().diameter == want_d
+        assert radius_undirected(edges).first().radius == want_r
+    # directed cycle: radius == diameter == size-1
+    arcs = [(i, (i + 1) % 5) for i in range(5)]
+    edges = edge_df(spark, arcs)
+    assert diameter_directed(edges).first().diameter == 4
+    assert radius_directed(edges).first().radius == 4
+    fe = {
+        r.vertex: r.ecc_f for r in forward_eccentricities(edges).collect()
+    }
+    assert fe == {i: 4 for i in range(5)}
+
+
+@pytest.mark.parametrize("n,p,seed", [(18, 0.1, 3), (22, 0.12, 7)])
+def test_scalar_levels_random_cross_check(spark, n, p, seed):
+    """The single-scalar and AllForward levels must agree with the
+    closed-everything All level on seeded ER digraphs, and their
+    witnesses must attain the certified value."""
+    from webgraph_algo_rs_spark.operators import (
+        diameter_directed,
+        diameter_undirected,
+        forward_eccentricities,
+        radius_directed,
+        radius_diameter,
+        radius_diameter_directed,
+        radius_undirected,
+    )
+    from webgraph_algo_rs_spark.operators.sumsweep import directed_eccentricities
+
+    arcs = er_graph(n, p, seed)
+    if not arcs:
+        pytest.skip("empty graph")
+    edges = edge_df(spark, arcs)
+    full = radius_diameter_directed(edges, output_level="all").first()
+    d = diameter_directed(edges).first()
+    r = radius_directed(edges).first()
+    assert d.diameter == full.diameter
+    assert r.radius == full.radius
+    ecc_rows = directed_eccentricities(edges).collect()
+    eccf = {row.vertex: row.ecc_f for row in ecc_rows}
+    eccb = {row.vertex: row.ecc_b for row in ecc_rows}
+    # the diameter witness attains the value in the forward or the
+    # backward sense (diameter = max ecc_f = max ecc_b; the certifying
+    # side picks the witness, computer.rs:641-644,703-706)
+    assert d.diameter in (
+        eccf.get(d.diameter_vertex), eccb.get(d.diameter_vertex)
+    )
+    assert eccf[r.radius_vertex] == r.radius
+    fe = {
+        row.vertex: row.ecc_f
+        for row in forward_eccentricities(edges).collect()
+    }
+    assert fe == eccf
+    ufull = radius_diameter(edges).first()
+    assert diameter_undirected(edges).first().diameter == ufull.diameter
+    assert radius_undirected(edges).first().radius == ufull.radius

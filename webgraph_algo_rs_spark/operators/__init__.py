@@ -22,10 +22,15 @@ from webgraph_algo_rs_spark.operators.scc import (  # noqa: F401
     strongly_connected_components,
 )
 from webgraph_algo_rs_spark.operators.sumsweep import (  # noqa: F401
+    diameter_directed,
+    diameter_undirected,
     directed_eccentricities,
     eccentricities,
+    forward_eccentricities,
     radius_diameter,
     radius_diameter_directed,
+    radius_directed,
+    radius_undirected,
 )
 from webgraph_algo_rs_spark.operators.checks import (  # noqa: F401
     is_symmetric,

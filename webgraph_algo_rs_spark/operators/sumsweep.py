@@ -121,7 +121,10 @@ def _undirected_ess_state(
     ``D_L = max(low)`` and ``R_U = min(high)``, the open set shrinks to
     the *missing* vertices ``{high > D_L} ∪ {low < R_U}`` — once empty,
     ``diameter = D_L`` (no upper bound exceeds it) and
-    ``radius = R_U`` (no lower bound undercuts it).
+    ``radius = R_U`` (no lower bound undercuts it). ``"diameter"`` /
+    ``"radius"`` certify a single scalar (reference
+    ``Diameter``/``Radius`` levels): the open set keeps only that
+    side's vertices, so the loop stops even earlier.
     """
     from pyspark.sql import Window
 
@@ -147,17 +150,24 @@ def _undirected_ess_state(
     n_vertices = state.count()
     for rounds in range(1, max_rounds + 1):
         open_v = state.filter(F.col("low") < F.col("high"))
-        if output_level == "radius_diameter":
+        if output_level in ("radius_diameter", "diameter", "radius"):
             # missing set under bound certification: a vertex keeps the
             # radius/diameter open only if its upper bound could raise
-            # the diameter or its lower bound could lower the radius
+            # the diameter or its lower bound could lower the radius;
+            # the single-scalar levels (reference Diameter/Radius,
+            # `output_level.rs:290-451`) keep only their own side
             scal = state.agg(
                 F.max("low").alias("dl"), F.min("high").alias("ru")
             ).first()
             dl, ru = scal["dl"] or 0, scal["ru"] or 0
-            open_v = open_v.filter(
-                (F.col("high") > F.lit(dl)) | (F.col("low") < F.lit(ru))
-            )
+            cond_d = F.col("high") > F.lit(dl)
+            cond_r = F.col("low") < F.lit(ru)
+            if output_level == "diameter":
+                open_v = open_v.filter(cond_d)
+            elif output_level == "radius":
+                open_v = open_v.filter(cond_r)
+            else:
+                open_v = open_v.filter(cond_d | cond_r)
         n_open = open_v.count()
         if progress:
             print(
@@ -302,6 +312,10 @@ def _directed_ess_state(
     caller asked for, and the loop stops as soon as it is empty:
 
     * ``"all"``: every vertex with an open forward or backward bound;
+    * ``"all_forward"``: only open *forward* bounds (the reference's
+      ``AllForward`` level, `output_level.rs:24-38` — backward
+      eccentricities are never certified, which skips the whole
+      backward half of the tail);
     * ``"radius_diameter"``: only vertices that can still move the two
       scalars — ``high_f(v) > D_L`` (``D_L = max low_f``, the certified
       diameter lower bound: v could still push the diameter up) or
@@ -309,7 +323,11 @@ def _directed_ess_state(
       the radial set: v could still pull the radius down). Closing
       every vertex is the dominant cost on large graphs when only two
       scalars are wanted — this is the reference's biggest directed-ESS
-      optimization.
+      optimization;
+    * ``"diameter"`` / ``"radius"``: one scalar's open set only (the
+      reference's ``Diameter``/``Radius`` levels,
+      `output_level.rs:66-243`); ``"diameter"`` never computes the
+      radial set at all.
     """
     from webgraph_algo_rs_spark.operators.bfs import bfs_distances
     from webgraph_algo_rs_spark.operators.scc import (
@@ -326,7 +344,7 @@ def _directed_ess_state(
     comps = materialize(strongly_connected_components(edges))
     cond = materialize(scc_condensation(edges, comps))
     rad = None
-    if output_level == "radius_diameter":
+    if output_level in ("radius_diameter", "radius"):
         if radial is None:
             rad = radial_vertices(edges).filter("is_radial").select("vertex")
         else:
@@ -374,14 +392,17 @@ def _directed_ess_state(
     # (bench_logs/ess_cnr2000_profile_r3.log).
     pivot_hist: DataFrame | None = None
     for rounds in range(1, max_rounds + 1):
-        if output_level == "radius_diameter":
-            open_v, info = _missing_radius_diameter(state, rad)
-        else:
+        if output_level == "all":
             open_v = state.filter(
                 (F.col("low_f") < F.col("high_f"))
                 | (F.col("low_b") < F.col("high_b"))
             )
             info = {}
+        elif output_level == "all_forward":
+            open_v = state.filter(F.col("low_f") < F.col("high_f"))
+            info = {}
+        else:
+            open_v, info = _missing_radius_diameter(state, rad, output_level)
         n_open = open_v.count()
         if prev_step is not None:
             points[prev_step] = prev_open - n_open
@@ -457,38 +478,57 @@ def _directed_ess_state(
 
 
 def _missing_radius_diameter(
-    state: DataFrame, rad: DataFrame
+    state: DataFrame, rad: DataFrame | None, level: str = "radius_diameter"
 ) -> tuple[DataFrame, dict]:
     """Vertices that can still change radius or diameter
-    (``find_missing_nodes`` at level RadiusDiameter,
-    `computer.rs:943-1014`). The diameter can be certified from EITHER
-    side — ``diameter = max ecc_f = max ecc_b`` — so the reference takes
+    (``find_missing_nodes`` at the scalar output levels,
+    `computer.rs:943-1014`). ``level`` selects which scalar(s) must be
+    certified — ``"radius_diameter"`` (both), ``"diameter"``
+    (diameter-side open set only; the radial set is not even computed),
+    ``"radius"`` (radial-side only) — mirroring the reference's
+    ``Diameter``/``Radius`` levels (`output_level.rs:66-243`), which
+    count only ``missing_d`` / ``missing_r`` respectively.
+
+    The diameter can be certified from EITHER side — ``diameter =
+    max ecc_f = max ecc_b`` — so the reference takes
     ``min(missing_df, missing_db)`` (`computer.rs:1008-1012`); we target
     whichever side's open set is smaller. ``D_L = max(max low_f,
     max low_b)`` subsumes the reference's incomplete-node filter: a
     closed vertex has ``low == ecc``, so ``D_L >= ecc`` and its
     ``high == ecc`` can never exceed ``D_L``. Three scalar aggs per
     round — negligible next to the round's BFS."""
-    row = state.agg(
-        F.max("low_f").alias("dlf"), F.max("low_b").alias("dlb")
-    ).first()
-    d_l = max(row["dlf"] or 0, row["dlb"] or 0)
-    ru_row = (
-        state.join(rad, "vertex", "left_semi").agg(F.min("high_f").alias("ru")).first()
-    )
-    r_u = ru_row["ru"] if ru_row["ru"] is not None else 0
-    cnt = state.agg(
-        F.sum((F.col("high_f") > F.lit(d_l)).cast("long")).alias("nf"),
-        F.sum((F.col("high_b") > F.lit(d_l)).cast("long")).alias("nb"),
-    ).first()
-    n_f, n_b = cnt["nf"] or 0, cnt["nb"] or 0
-    diam_side = "high_b" if n_b < n_f else "high_f"
-    diam_open = state.filter(F.col(diam_side) > F.lit(d_l))
-    rad_open = state.join(rad, "vertex", "left_semi").filter(
-        F.col("low_f") < F.lit(r_u)
-    )
-    info = {"d_l": d_l, "r_u": r_u, "diam_open_f": n_f, "diam_open_b": n_b}
-    return diam_open.unionByName(rad_open).dropDuplicates(["vertex"]), info
+    info: dict = {}
+    parts = []
+    if level in ("radius_diameter", "diameter"):
+        row = state.agg(
+            F.max("low_f").alias("dlf"), F.max("low_b").alias("dlb")
+        ).first()
+        d_l = max(row["dlf"] or 0, row["dlb"] or 0)
+        cnt = state.agg(
+            F.sum((F.col("high_f") > F.lit(d_l)).cast("long")).alias("nf"),
+            F.sum((F.col("high_b") > F.lit(d_l)).cast("long")).alias("nb"),
+        ).first()
+        n_f, n_b = cnt["nf"] or 0, cnt["nb"] or 0
+        diam_side = "high_b" if n_b < n_f else "high_f"
+        parts.append(state.filter(F.col(diam_side) > F.lit(d_l)))
+        info.update(d_l=d_l, diam_open_f=n_f, diam_open_b=n_b)
+    if level in ("radius_diameter", "radius"):
+        ru_row = (
+            state.join(rad, "vertex", "left_semi")
+            .agg(F.min("high_f").alias("ru"))
+            .first()
+        )
+        r_u = ru_row["ru"] if ru_row["ru"] is not None else 0
+        parts.append(
+            state.join(rad, "vertex", "left_semi").filter(
+                F.col("low_f") < F.lit(r_u)
+            )
+        )
+        info["r_u"] = r_u
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["vertex"]), info
 
 
 def _directed_sweep(
@@ -1133,4 +1173,148 @@ def radius_diameter(
         F.max_by(
             "vertex", F.struct(F.col("ecc"), (-F.col("vertex")).alias("t"))
         ).alias("diameter_vertex"),
+    )
+
+
+def forward_eccentricities(
+    edges: DataFrame, stats: dict | None = None, **kwargs
+) -> DataFrame:
+    """Exact *forward* eccentricities ``(vertex, component, ecc_f)`` —
+    the reference's ``AllForward`` level
+    (`/root/reference/src/algo/exact_sum_sweep/output_level.rs:24-38`):
+    only forward bounds must close, so the backward half of the closing
+    tail is skipped entirely. Backward floods still *run* while useful —
+    they are what raises ``low_f`` — but no round is spent certifying
+    ``ecc_b``."""
+    state, _ = _directed_ess_state(
+        edges, output_level="all_forward", stats=stats, **kwargs
+    )
+    return state.select(
+        "vertex", "component", F.col("low_f").alias("ecc_f")
+    )
+
+
+def diameter_directed(
+    edges: DataFrame, stats: dict | None = None, **kwargs
+) -> DataFrame:
+    """One-row ``(diameter, diameter_vertex)`` for the directed graph —
+    the reference's ``Diameter::compute_directed``
+    (`output_level.rs:66-150`). Stops as soon as no upper bound on
+    either side exceeds ``D_L = max(max low_f, max low_b)`` (diameter =
+    max ecc_f = max ecc_b); the radial set is never computed. The
+    witness provably attains the value."""
+    state, _ = _directed_ess_state(
+        edges, output_level="diameter", stats=stats, **kwargs
+    )
+    row = state.agg(
+        F.max("low_f").alias("dlf"),
+        F.max_by(
+            "vertex", F.struct(F.col("low_f"), (-F.col("vertex")).alias("t"))
+        ).alias("wf"),
+        F.max("low_b").alias("dlb"),
+        F.max_by(
+            "vertex", F.struct(F.col("low_b"), (-F.col("vertex")).alias("t"))
+        ).alias("wb"),
+    ).first()
+    dlf, dlb = row["dlf"] or 0, row["dlb"] or 0
+    witness = row["wf"] if dlf >= dlb else row["wb"]
+    return edges.sparkSession.createDataFrame(
+        [(max(dlf, dlb), int(witness) if witness is not None else -1)],
+        "diameter long, diameter_vertex long",
+    )
+
+
+def radius_directed(
+    edges: DataFrame,
+    radial: DataFrame | None = None,
+    stats: dict | None = None,
+    **kwargs,
+) -> DataFrame:
+    """One-row ``(radius, radius_vertex)`` for the directed graph — the
+    reference's ``Radius::compute_directed`` (`output_level.rs:152-243`):
+    radius = min ``ecc_f`` over the radial set (vertices reaching the
+    largest SCC by default; pass ``radial`` to override). Stops as soon
+    as no radial lower bound undercuts ``R_U = min high_f`` — the
+    diameter side is never targeted."""
+    state, rad = _directed_ess_state(
+        edges, output_level="radius", radial=radial, stats=stats, **kwargs
+    )
+    row = (
+        state.join(rad, "vertex", "left_semi")
+        .agg(
+            F.min("high_f").alias("radius"),
+            F.min_by(
+                "vertex", F.struct(F.col("high_f"), F.col("vertex"))
+            ).alias("radius_vertex"),
+        )
+        .first()
+    )
+    return edges.sparkSession.createDataFrame(
+        [
+            (
+                int(row["radius"]) if row["radius"] is not None else 0,
+                int(row["radius_vertex"])
+                if row["radius_vertex"] is not None
+                else -1,
+            )
+        ],
+        "radius long, radius_vertex long",
+    )
+
+
+def diameter_undirected(
+    edges: DataFrame, stats: dict | None = None, **kwargs
+) -> DataFrame:
+    """One-row ``(diameter, diameter_vertex)`` for the undirected graph
+    (reference ``Diameter::compute_undirected``,
+    `output_level.rs:290-360`): stops when no upper bound exceeds
+    ``D_L = max(low)``."""
+    state = _undirected_ess_state(
+        edges, output_level="diameter", stats=stats, **kwargs
+    )
+    row = state.agg(
+        F.max("low").alias("diameter"),
+        F.max_by(
+            "vertex", F.struct(F.col("low"), (-F.col("vertex")).alias("t"))
+        ).alias("diameter_vertex"),
+    ).first()
+    return edges.sparkSession.createDataFrame(
+        [
+            (
+                int(row["diameter"]) if row["diameter"] is not None else 0,
+                int(row["diameter_vertex"])
+                if row["diameter_vertex"] is not None
+                else -1,
+            )
+        ],
+        "diameter long, diameter_vertex long",
+    )
+
+
+def radius_undirected(
+    edges: DataFrame, stats: dict | None = None, **kwargs
+) -> DataFrame:
+    """One-row ``(radius, radius_vertex)`` for the undirected graph
+    (reference ``Radius::compute_undirected``,
+    `output_level.rs:362-451`): stops when no lower bound undercuts
+    ``R_U = min(high)``."""
+    state = _undirected_ess_state(
+        edges, output_level="radius", stats=stats, **kwargs
+    )
+    row = state.agg(
+        F.min("high").alias("radius"),
+        F.min_by(
+            "vertex", F.struct(F.col("high"), F.col("vertex"))
+        ).alias("radius_vertex"),
+    ).first()
+    return edges.sparkSession.createDataFrame(
+        [
+            (
+                int(row["radius"]) if row["radius"] is not None else 0,
+                int(row["radius_vertex"])
+                if row["radius_vertex"] is not None
+                else -1,
+            )
+        ],
+        "radius long, radius_vertex long",
     )
