@@ -128,6 +128,52 @@ def test_cnr2000_radius_diameter_directed(cnr_spark):
     os.environ.get("WGA_SLOW_TESTS") != "1",
     reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
 )
+def test_cnr2000_single_scalar_levels_directed(cnr_spark):
+    """The Diameter-only and Radius-only output levels
+    (`output_level.rs:66-243`) at reference scale: each must certify
+    the same scalar the RadiusDiameter level certifies on cnr-2000
+    (committed green run `bench_logs/ess_directed_cnr2000_localbfs_r4.log`:
+    radius 27, diameter 84) — cross-validation between output levels,
+    the reference's cross-algorithm-agreement test style — and each
+    must finish in no more rounds than the two-scalar level needs,
+    since its missing set is a subset of RadiusDiameter's."""
+    spark = cnr_spark
+    from pyspark.sql import functions as F
+
+    from webgraph_algo_rs_spark.operators import (
+        diameter_directed,
+        radius_directed,
+    )
+    from webgraph_algo_rs_spark.operators.bfs import bfs_distances
+    from webgraph_algo_rs_spark.sources.bvgraph import read_bv_edges
+
+    edges = read_bv_edges(spark, CNR).localCheckpoint(eager=True)
+    d_stats: dict = {}
+    d = diameter_directed(edges, stats=d_stats).first()
+    assert d.diameter == 84  # certified by the RadiusDiameter-level run
+    assert d_stats["output_level"] == "diameter"
+    # independent exact lower bound from sampled pivots
+    samples = [int(v * 325557 / 24) for v in range(24)]
+    sample_df = spark.createDataFrame([(v,) for v in samples], "source long")
+    max_ecc = (
+        bfs_distances(edges, sample_df)
+        .groupBy("source")
+        .agg(F.max("distance").alias("e"))
+        .agg(F.max("e"))
+        .first()[0]
+    )
+    assert d.diameter >= max_ecc
+
+    r_stats: dict = {}
+    r = radius_directed(edges, stats=r_stats).first()
+    assert r.radius == 27  # certified by the RadiusDiameter-level run
+    assert r_stats["output_level"] == "radius"
+
+
+@pytest.mark.skipif(
+    os.environ.get("WGA_SLOW_TESTS") != "1",
+    reason="slow: set WGA_SLOW_TESTS=1 (reference slow_tests analog)",
+)
 def test_cnr2000_hyperball_golden_parity(spark):
     """HyperBall with the Jenkins hasher (seed 42, log2m=8) against the
     committed golden arrays produced by the independent *Java*

@@ -121,14 +121,28 @@ def main() -> None:
                 spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
             else:
                 spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+            norm_plan = norm_edges_plan(edges)
+            verts = vertices
+            if variant.startswith("cached_int"):
+                # bytes-per-edge probe for the DRAM-bound 8->32 plateau:
+                # dense ids < 2^31 fit int32 (edge row 24B -> 16B; with
+                # float32 weights -> 12B). Both join sides narrowed so
+                # hash co-partitioning stays consistent.
+                nw_t = "float" if variant.endswith("f32") else "double"
+                norm_plan = norm_plan.select(
+                    F.col("src").cast("int").alias("src"),
+                    F.col("dst").cast("int").alias("dst"),
+                    F.col("nw").cast(nw_t).alias("nw"),
+                )
+                verts = vertices.select(F.col("vertex").cast("int").alias("vertex"))
             norm = (
-                norm_edges_plan(edges)
+                norm_plan
                 .repartition(N_BUCKETS, "src")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
             norm.count()
             res = loop(
-                spark, norm, vertices, n, iters,
+                spark, norm, verts, n, iters,
                 build_hint=(variant == "cached_hint"),
             )
             norm.unpersist()
