@@ -117,7 +117,9 @@ def main() -> None:
             res = loop(spark, norm, vertices, n, iters)
             drop()
         else:
-            if variant == "cached_shj":
+            if variant == "cached_shj" or variant.startswith("cached_int"):
+                # narrow-id variants measure bytes-per-edge under the
+                # same (winning) shuffled-hash-join physical strategy
                 spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
             else:
                 spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
