@@ -200,3 +200,33 @@ def test_dfs_forest_matches_oracle_property(spark, arcs):
         assert r["depth"] == w["depth"]
         assert r["pre"] == w["pre"]
         assert r["post"] == w["post"]
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    arcs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=26,
+    )
+)
+def test_directed_ess_matches_brute_force_property(spark, arcs):
+    """Directed ExactSumSweep (the repo's subtlest control loop —
+    sweep pivot rules, AllCC condensation DP, endgame flood) must equal
+    the brute-force forward/backward eccentricity oracle on ARBITRARY
+    small digraphs, not just the seeded-ER grid — the hypothesis
+    generalization of the reference's cross-algorithm agreement level
+    (`tests/test_sccs.rs:222-266`). Derandomized + minimized."""
+    from tests.test_sumsweep import directed_ecc_oracle
+    from webgraph_algo_rs_spark.operators.sumsweep import directed_eccentricities
+
+    clean = [(a, b) for a, b in arcs if a != b]
+    if not clean:
+        return
+    got = {
+        r.vertex: (r.ecc_f, r.ecc_b)
+        for r in directed_eccentricities(edge_df(spark, clean)).collect()
+    }
+    want = directed_ecc_oracle(clean)
+    want = {v: e for v, e in want.items() if v in got}
+    assert got == want
