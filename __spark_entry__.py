@@ -517,6 +517,20 @@ def q_radius_diameter_fast_events(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("radius", "diameter")
 
 
+def q_acyclicity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acyclicity check (reference `src/algo/acyclicity.rs:9-30`,
+    re-expressed as the Kahn peel emptying the graph): the events reply
+    graph has back-and-forth user pairs, so the expected answer is
+    false. One boolean row; the DuckDB twin asks whether any vertex
+    reaches itself through >= 1 arc."""
+    from webgraph_algo_rs_spark.operators import is_acyclic
+
+    return spark.createDataFrame(
+        [(bool(is_acyclic(_events_edges(spark, sf_dir))),)],
+        "is_acyclic boolean",
+    )
+
+
 def q_diameter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected single-scalar Diameter level (reference
     ``Diameter::compute_undirected``, `output_level.rs:290-360`): only
@@ -1197,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricities_events": q_eccentricities_events,
         "radius_diameter_events": q_radius_diameter_events,
         "radius_diameter_fast_events": q_radius_diameter_fast_events,
+        "acyclicity_events": q_acyclicity_events,
         "diameter_events": q_diameter_events,
         "radius_events": q_radius_events,
         "diameter_directed_events": q_diameter_directed_events,
@@ -1423,6 +1438,15 @@ FROM ecc
 SELECT CAST(min(ecc) AS BIGINT) AS radius,
        CAST(max(ecc) AS BIGINT) AS diameter
 FROM ecc
+""",
+        "acyclicity_events": _EG + """
+, rf(s, v, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT rf.s, e.dst_vertex, rf.d + 1
+  FROM rf JOIN eg e ON rf.v = e.src_vertex WHERE rf.d < 100
+)
+SELECT (SELECT count(*) FROM rf WHERE s = v AND d > 0) = 0 AS is_acyclic
 """,
         "diameter_events": _EG + """
 , r(s, v, d) AS (
