@@ -47,6 +47,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    # physical tier each graph query actually ran on (local-csr /
+    # blocked / persist-chain, straight from the operators' dispatch via
+    # stats) — a perf regression cannot hide behind a tier switch
+    tiers: dict[str, str] = {}
 
     def timed(name, fn):
         t0 = time.time()
@@ -61,6 +65,7 @@ def main() -> None:
     timed("q1_pagerank_transcripts", lambda: pagerank(
         tedges, tol=1e-6, max_iter=100, stats=pr_stats
     ).count())
+    tiers["q1_pagerank_transcripts"] = pr_stats.get("tier", "?")
     supersteps = max(pr_stats.get("iterations", 1), 1)
     extra["pagerank_supersteps"] = supersteps
     extra["pagerank_residual"] = pr_stats.get("residual", -1)
@@ -72,10 +77,25 @@ def main() -> None:
     # q2-q5: events interaction graph
     eedges = events_user_edges(spark, sf_dir).localCheckpoint()
     extra["n_edges_events"] = eedges.count()
-    timed("q2_pagerank_events", lambda: pagerank(eedges, tol=1e-6, max_iter=100).count())
-    timed("q3_cc_events", lambda: connected_components(eedges).count())
-    timed("q4_lpa_events", lambda: label_propagation(eedges, max_iter=10).count())
-    timed("q5_triangles_events", lambda: triangle_count_per_vertex(eedges).count())
+    st2: dict = {}
+    st3: dict = {}
+    st4: dict = {}
+    st5: dict = {}
+    timed("q2_pagerank_events", lambda: pagerank(
+        eedges, tol=1e-6, max_iter=100, stats=st2
+    ).count())
+    timed("q3_cc_events", lambda: connected_components(eedges, stats=st3).count())
+    timed("q4_lpa_events", lambda: label_propagation(
+        eedges, max_iter=10, stats=st4
+    ).count())
+    timed("q5_triangles_events", lambda: triangle_count_per_vertex(
+        eedges, stats=st5
+    ).count())
+    for qn, st in (("q2_pagerank_events", st2), ("q3_cc_events", st3),
+                   ("q4_lpa_events", st4), ("q5_triangles_events", st5)):
+        tiers[qn] = st.get("tier", "?")
+    for qn in ("q6_minhash_lsh_docs", "q7_ann_topk", "q8_ann_ivf"):
+        tiers[qn] = "n/a (non-graph: single declarative plan, no dispatch)"
 
     # q6-q7: training-data ops
     docs = load_table(spark, sf_dir, "documents")
@@ -134,6 +154,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tiers": tiers,
                 "sf": sf,
                 **extra,
                 "notes": (

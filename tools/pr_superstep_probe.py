@@ -130,6 +130,11 @@ def main() -> None:
                 # dense ids < 2^31 fit int32 (edge row 24B -> 16B; with
                 # float32 weights -> 12B). Both join sides narrowed so
                 # hash co-partitioning stays consistent.
+                max_id = vertices.agg(F.max("vertex")).first()[0]
+                assert max_id < 2**31, (
+                    f"cached_int* probe needs ids < 2^31, got max {max_id}: "
+                    "the non-ANSI int cast would silently wrap"
+                )
                 nw_t = "float" if variant.endswith("f32") else "double"
                 norm_plan = norm_plan.select(
                     F.col("src").cast("int").alias("src"),

@@ -118,10 +118,14 @@ def connected_components(
             if stats is not None:
                 head = out.select("iterations", "changed").first()
                 stats.update(
-                    iterations=int(head["iterations"]), changed=int(head["changed"])
+                    iterations=int(head["iterations"]),
+                    changed=int(head["changed"]),
+                    tier="local-csr",
                 )
             return out.select("vertex", "component")
 
+    if stats is not None:
+        stats["tier"] = "persist-chain" if bucketize_edges else "blocked"
     if block_size is None:
         block_size = 4
     sym_plan = symmetrize(edges).select(SRC, DST)

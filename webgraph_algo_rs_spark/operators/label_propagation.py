@@ -105,10 +105,14 @@ def label_propagation(
             if stats is not None:
                 head = out.select("iterations", "changed").first()
                 stats.update(
-                    iterations=int(head["iterations"]), changed=int(head["changed"])
+                    iterations=int(head["iterations"]),
+                    changed=int(head["changed"]),
+                    tier="local-csr",
                 )
             return out.select("vertex", "label")
 
+    if stats is not None:
+        stats["tier"] = "persist-chain" if bucketize_edges else "blocked"
     if block_size is None:
         block_size = 4
     drop_bucketed = None

@@ -112,7 +112,10 @@ def pagerank(
         n_edges = probed_edges = probe_edge_count(edges, max(thr, big_thr))
         if n_edges == 0 and checkpoint is None:
             if stats is not None:
-                stats.update(iterations=0, residual=0.0, n_vertices=0, wall_sec=0.0)
+                stats.update(
+                    iterations=0, residual=0.0, n_vertices=0, wall_sec=0.0,
+                    tier="empty",
+                )
             return spark.createDataFrame([], "vertex bigint, rank double")
         if not local_mode and n_edges > big_thr:
             # size dispatch, upper end (see components.py): huge graphs
@@ -134,9 +137,14 @@ def pagerank(
                     residual=float(head["residual"]),
                     n_vertices=out.count(),
                     wall_sec=time.time() - t0,
+                    tier="local-csr",
                 )
             return out.select("vertex", "rank")
 
+    if stats is not None:
+        # physical tier actually taken (bench.py reports this per query
+        # so a regression can't hide behind a dispatch switch)
+        stats["tier"] = "persist-chain" if bucketize_edges else "blocked"
     vertices = materialize(graph_vertices(edges))
     n = vertices.count()
     if n == 0:

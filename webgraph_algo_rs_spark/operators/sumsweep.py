@@ -525,6 +525,11 @@ def _missing_radius_diameter(
             )
         )
         info["r_u"] = r_u
+    if not parts:
+        raise ValueError(
+            f"unknown output_level {level!r}: expected one of "
+            "'radius_diameter', 'diameter', 'radius'"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1297,7 +1302,14 @@ def radius_undirected(
     """One-row ``(radius, radius_vertex)`` for the undirected graph
     (reference ``Radius::compute_undirected``,
     `output_level.rs:362-451`): stops when no lower bound undercuts
-    ``R_U = min(high)``."""
+    ``R_U = min(high)``.
+
+    DECLARED DIVERGENCE (also in the module docstring): the min is over
+    ALL vertices, while the reference restricts the radius to radial
+    vertices of the biggest component (`computer.rs:488-534`). On a
+    connected graph — every gate/test graph here — the two agree; on a
+    disconnected one this returns the smaller all-vertices value. The
+    ``radius_events`` DuckDB oracle encodes these same semantics."""
     state = _undirected_ess_state(
         edges, output_level="radius", stats=stats, **kwargs
     )

@@ -30,7 +30,9 @@ from webgraph_algo_rs_spark.plans.superstep import (
 )
 
 
-def _local_counts(edges: DataFrame, local_mode: bool | None) -> DataFrame | None:
+def _local_counts(
+    edges: DataFrame, local_mode: bool | None, stats: dict | None = None
+) -> DataFrame | None:
     """Size dispatch (see ``components.py``): below
     ``wga.localKernelMaxEdges`` the whole count runs as one vectorized
     CSR task — the distributed plan's two shuffled joins are pure
@@ -38,10 +40,16 @@ def _local_counts(edges: DataFrame, local_mode: bool | None) -> DataFrame | None
     the distributed join plan (the 100 TB path). The probe is capped at
     the threshold, so dispatch never scans a huge edge table."""
     if local_mode is False:
+        if stats is not None:
+            stats["tier"] = "distributed-join"
         return None
     thr = local_kernel_threshold(edges.sparkSession)
     if not local_mode and probe_edge_count(edges, thr) > thr:
+        if stats is not None:
+            stats["tier"] = "distributed-join"
         return None
+    if stats is not None:
+        stats["tier"] = "local-csr"
     return run_local_kernel(
         edges,
         "vertex bigint, n_triangles bigint",
@@ -84,9 +92,11 @@ def _triangles(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count_global(edges: DataFrame, local_mode: bool | None = None) -> DataFrame:
+def triangle_count_global(
+    edges: DataFrame, local_mode: bool | None = None, stats: dict | None = None
+) -> DataFrame:
     """One row ``(n_triangles:bigint)``."""
-    local = _local_counts(edges, local_mode)
+    local = _local_counts(edges, local_mode, stats)
     if local is not None:
         # every triangle credits its three corners, so the corner sum is
         # exactly 3·count (integer-exact); empty edge table → sum NULL → 0
@@ -96,9 +106,11 @@ def triangle_count_global(edges: DataFrame, local_mode: bool | None = None) -> D
     return _triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def triangle_count_per_vertex(edges: DataFrame, local_mode: bool | None = None) -> DataFrame:
+def triangle_count_per_vertex(
+    edges: DataFrame, local_mode: bool | None = None, stats: dict | None = None
+) -> DataFrame:
     """``(vertex:bigint, n_triangles:bigint)`` — zero-filled for all vertices."""
-    local = _local_counts(edges, local_mode)
+    local = _local_counts(edges, local_mode, stats)
     if local is not None:
         return local
     tri = _triangles(edges)
