@@ -19,9 +19,14 @@ Decode status (round-4 decision, VERDICT r3 §next №8):
   the distributed :func:`transcode_media` are fully functional with no
   external codec — transcode normalizes every probed format to the
   uncompressed container.
-* **Declared stub** only where a full codec stack genuinely starts:
-  progressive JPEG (SOF2) raises ``NotImplementedError``.
-  ``_fake_decode`` (the default for :func:`extract_media_features`)
+* **Progressive JPEG (SOF2)** decodes too (round-5, VERDICT r4 §next
+  №6): multi-scan spectral selection + successive approximation — DC
+  first/refine, AC first/refine with EOB-run tracking — accumulated
+  into a per-block coefficient array, then one vectorized
+  dequantize + IDCT pass for the Y plane. Chroma-only AC scans are
+  skipped wholesale (scans are independently delimited entropy
+  segments), interleaved DC scans walk chroma bits to stay in sync.
+* ``_fake_decode`` (the default for :func:`extract_media_features`)
   remains available as the deterministic stand-in for schema/plumbing
   tests.
 """
@@ -194,8 +199,8 @@ def transcode_media(media: DataFrame, width: int, height: int) -> tuple[DataFram
                 except Exception:
                     # the probe reads only the container header, so a
                     # payload can pass the gate and still fail decode
-                    # (progressive JPEG, truncated PNG IDAT, corrupt
-                    # entropy stream). One bad asset must not kill a
+                    # (truncated PNG IDAT, corrupt entropy
+                    # stream). One bad asset must not kill a
                     # 100 TB transcode job after task retries: surface
                     # it as a NULL-payload row (filter `payload IS NOT
                     # NULL` downstream) instead of raising out of the
@@ -551,12 +556,43 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _entropy_segments(p: bytes, j: int) -> tuple[list[bytes], int]:
+    """Unstuff entropy-coded bytes starting at offset ``j``, splitting
+    at RSTn markers; returns ``(segments, offset_of_next_marker)``.
+    0xFF00 unstuffs to 0xFF; B.1.1.2 fill bytes (0xFF before a marker)
+    are dropped; any other marker ends the scan."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    while j < len(p):
+        b = p[j]
+        if b == 0xFF and j + 1 < len(p):
+            nxt = p[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            if nxt == 0xFF:
+                j += 1
+                continue
+            break  # EOI or next real marker
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments, j
+
+
 def _decode_jpeg(p: bytes) -> np.ndarray:
     """Baseline sequential JPEG (SOF0/SOF1) → float32 grayscale (h, w).
 
     Full entropy decode of every component; IDCT only for Y (gray = the
     luma plane — chroma is Huffman-walked to keep the bitstream in sync
-    but never reconstructed). Progressive (SOF2) raises."""
+    but never reconstructed). Progressive (SOF2) dispatches to
+    :func:`_decode_jpeg_progressive`."""
     if p[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -603,7 +639,7 @@ def _decode_jpeg(p: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
         elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            return _decode_jpeg_progressive(p)
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -618,33 +654,7 @@ def _decode_jpeg(p: bytes) -> np.ndarray:
     if entropy_start < 0 or not comps or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # unstuff entropy bytes, splitting at restart markers
-    segments: list[bytes] = []
-    cur = bytearray()
-    j = entropy_start
-    while j < len(p):
-        b = p[j]
-        if b == 0xFF and j + 1 < len(p):
-            nxt = p[j + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            if nxt == 0xFF:
-                # B.1.1.2: any number of 0xFF fill bytes may pad the
-                # stream before a marker (including RSTn) — drop the
-                # fill byte and re-examine, don't end the scan
-                j += 1
-                continue
-            break  # EOI or next real marker
-        cur.append(b)
-        j += 1
-    segments.append(bytes(cur))
+    segments, _ = _entropy_segments(p, entropy_start)
 
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
@@ -702,6 +712,277 @@ def _decode_jpeg(p: bytes) -> np.ndarray:
     return yplane[:h, :w].astype(np.float32)
 
 
+def _prog_ac_refine_block(reader, blk, k, se, p1, m1, r, val):
+    """One AC-refinement advance (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine): move right over ``r`` zero-HISTORY
+    coefficients, reading a correction bit for every nonzero-history
+    coefficient passed; drop ``val`` (±1 << Al) at the landing spot.
+    Returns the next k."""
+    while k <= se:
+        if blk[k] != 0:
+            if reader.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+        else:
+            if r == 0:
+                break
+            r -= 1
+        k += 1
+    if val and k <= se:
+        blk[k] = val
+    return k + 1
+
+
+def _decode_jpeg_progressive(p: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2) → float32 grayscale (h, w).
+
+    Spectral selection + successive approximation, accumulated into a
+    per-block zigzag-order coefficient array for the luma component;
+    one vectorized dequantize + IDCT at the end. Scan coverage:
+
+    * DC first (Ss=Se=0, Ah=0): DPCM diffs, value << Al — interleaved
+      (MCU walk over every component, chroma decoded for bitstream
+      sync then discarded) or single-component;
+    * DC refine (Ah>0): one bit per block ORed at position Al
+      (two's-complement OR matches the arithmetic-shift encoder);
+    * AC first (Ss>0, Ah=0): band-limited run-length with EOBn runs
+      (eobrun = 2^r + extra-bits blocks end immediately);
+    * AC refine: newly-nonzero (s=1) drops ±1 << Al; every
+      nonzero-history coefficient passed — including past ZRL and
+      through the band tail once an EOB run starts — consumes a
+      correction bit.
+
+    AC scans are single-component by spec, so chroma AC scans are
+    skipped without entropy decode (each scan's segment is delimited
+    by the next marker). Restart markers reset DC predictors and the
+    EOB run. Reference semantics: `webgraph.rs` has no media path —
+    this backs SURVEY §2's multimodal pipeline tier."""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    ycoef = None  # (blocks_y, blocks_x, 64) int64, zigzag index space
+    hmax = vmax = mcx = mcy = 0
+
+    def y_geom(interleaved: bool) -> tuple[int, int]:
+        """Luma block-array extent touched by a scan: full MCU-padded
+        grid when interleaved, ceil(comp_dim/8) when single-component
+        (A.2.2: partial MCU padding exists only in interleaved order)."""
+        c = comps[0]
+        if interleaved:
+            return mcy * c["v"], mcx * c["h"]
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        return -(-ch_ // 8), -(-cw // 8)
+
+    i = 2
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = p[i + 1]
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+        body = p[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq:
+                    tbl = np.frombuffer(body[j : j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    tbl = np.frombuffer(body[j : j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                counts = list(body[j + 1 : j + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _HuffTable(counts, bytes(body[j + 17 : j + 17 + n]))
+                j += 17 + n
+        elif marker == 0xC2:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcx = -(-w // (8 * hmax))
+            mcy = -(-h // (8 * vmax))
+            by, bx = mcy * comps[0]["v"], mcx * comps[0]["h"]
+            ycoef = np.zeros((by, bx, 64), dtype=np.int64)
+        elif marker in (0xC0, 0xC1):
+            raise ValueError("baseline SOF inside progressive decode")
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:
+            if ycoef is None:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = body[0]
+            scomps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(k for k, x in enumerate(comps) if x["id"] == cid)
+                scomps.append((idx, tabs >> 4, tabs & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            segments, i = _entropy_segments(p, i + 2 + seg_len)
+            if ss == 0 and (ns > 1 or scomps[0][0] == 0):
+                _prog_dc_scan(
+                    segments, scomps, comps, huff, ycoef, ah, al,
+                    mcx, mcy, y_geom, restart_interval, ns > 1,
+                )
+            elif ss > 0 and scomps[0][0] == 0:  # luma AC (single-comp by spec)
+                _prog_ac_scan(
+                    segments, huff[(1, scomps[0][2])], ycoef, ss, se,
+                    ah, al, y_geom(False), restart_interval,
+                )
+            # single-component chroma scan (AC or DC): skip — gray
+            # output never reads it, scans are independent entropy
+            # segments, and the split above already advanced i past it
+            continue
+        i += 2 + seg_len
+    if ycoef is None or h == 0 or comps[0]["tq"] not in qt:
+        raise ValueError("JPEG missing SOF2/DQT/SOS")
+
+    yq = qt[comps[0]["tq"]].astype(np.float64)
+    deq = ycoef.astype(np.float64) * yq[None, None, :]
+    nat = np.zeros_like(deq)
+    nat[:, :, _ZIGZAG] = deq
+    by, bx = ycoef.shape[:2]
+    blocks = nat.reshape(by, bx, 8, 8)
+    # per-block 2-D IDCT: B.T @ C @ B, batched
+    idct = np.einsum("ji,abjk,kl->abil", _DCT_B, blocks, _DCT_B)
+    yplane = np.clip(idct.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0,
+                     0.0, 255.0)
+    ry, rx = vmax // comps[0]["v"], hmax // comps[0]["h"]
+    if ry > 1 or rx > 1:
+        yplane = np.repeat(np.repeat(yplane, ry, axis=0), rx, axis=1)
+    return yplane[:h, :w].astype(np.float32)
+
+
+def _prog_dc_scan(
+    segments, scomps, comps, huff, ycoef, ah, al,
+    mcx, mcy, y_geom, restart_interval, interleaved,
+):
+    """One DC scan (first or refinement), interleaved or not."""
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(scomps)
+    if interleaved:
+        units = mcx * mcy  # restart counts MCUs
+    else:
+        by, bx = y_geom(False)  # caller guarantees luma for ns == 1
+        units = by * bx
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(scomps)
+        if interleaved:
+            my, mx = divmod(m, mcx)
+            for ci, (idx, dc_id, _) in enumerate(scomps):
+                comp = comps[idx]
+                for bv in range(comp["v"]):
+                    for bh in range(comp["h"]):
+                        if ah == 0:
+                            t = reader.huff(huff[(0, dc_id)])
+                            preds[ci] += _jpeg_extend(reader.bits(t), t)
+                            if idx == 0:
+                                ycoef[my * comp["v"] + bv,
+                                      mx * comp["h"] + bh, 0] = preds[ci] << al
+                        else:  # refinement: 1 bit/block, OR into place
+                            if reader.bit() and idx == 0:
+                                ycoef[my * comp["v"] + bv,
+                                      mx * comp["h"] + bh, 0] |= 1 << al
+        else:
+            idx, dc_id, _ = scomps[0]
+            my, mx = divmod(m, bx)
+            if ah == 0:
+                t = reader.huff(huff[(0, dc_id)])
+                preds[0] += _jpeg_extend(reader.bits(t), t)
+                if idx == 0:
+                    ycoef[my, mx, 0] = preds[0] << al
+            else:
+                if reader.bit() and idx == 0:
+                    ycoef[my, mx, 0] |= 1 << al
+
+
+def _prog_ac_scan(segments, ac_t, ycoef, ss, se, ah, al, geom, restart_interval):
+    """One luma AC scan: first pass (Ah=0) or refinement."""
+    by, bx = geom
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for m in range(by * bx):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+        blk = ycoef[m // bx, m % bx]
+        if ah == 0:  # first pass for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.huff(ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC coefficient past band end")
+                blk[k] = _jpeg_extend(reader.bits(s), s) << al
+                k += 1
+        else:  # refinement
+            k = ss
+            in_eob = False
+            if eobrun:
+                eobrun -= 1
+                in_eob = True
+            else:
+                while k <= se:
+                    rs = reader.huff(ac_t)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            in_eob = True
+                            break
+                        # r == 15: ZRL — walk 16 zero-history coeffs
+                    elif s == 1:
+                        val = p1 if reader.bit() else m1
+                    else:
+                        raise ValueError("JPEG AC refinement s > 1")
+                    k = _prog_ac_refine_block(reader, blk, k, se, p1, m1, r, val)
+            if in_eob:
+                # band tail: correction bits only
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+
+
 def grid_mean_resize(img: np.ndarray, gh: int, gw: int) -> np.ndarray:
     """Array-space resize: mean-pool ``img`` (h, w) onto a ``gh×gw``
     grid (each output cell = mean of its source block; uneven splits
@@ -734,8 +1015,8 @@ def decode_builtin(payload: bytes, kind: str, feat_dim: int) -> tuple[np.ndarray
     √feat_dim grid, flattened and scaled to [0, 1]; ``frames = 1``.
     Audio: PCM decode → ``feat_dim`` windowed RMS profile;
     ``frames`` = number of windows (the frame-sampling analog).
-    Images cover BMP / PNG / GIF (LZW) / baseline JPEG; progressive
-    JPEG and unknown formats raise ``NotImplementedError`` — the
+    Images cover BMP / PNG / GIF (LZW) / JPEG (baseline and
+    progressive); unknown formats raise ``NotImplementedError`` — the
     declared codec boundary (see module docstring).
     """
     if not payload:
