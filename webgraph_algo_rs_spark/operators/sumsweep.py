@@ -599,84 +599,71 @@ def _directed_sweep(
     bwd = bfs_distances(transpose, pivots)
     ecc_f = fwd.groupBy("source").agg(F.max("distance").alias("pecc_f"))
     ecc_b = bwd.groupBy("source").agg(F.max("distance").alias("pecc_b"))
+    # Per-pivot metadata is tiny (≤ a few hundred rows): component +
+    # both exact eccentricities, broadcast onto the flood frames so
+    # each direction needs exactly ONE grouped scan. Round 5 fused the
+    # old six groupBy scans + five sequential state joins into two
+    # grouped scans + one outer join — the sweep's p·n-row flood
+    # frames (the directed-ESS profile's dominant cost,
+    # bench_logs/ess_cnr2000_r4.log rounds 5-6) are now each read once.
+    pcomp = comps.select(F.col("vertex").alias("source"), F.col("component").alias("pc"))
+    piv_meta = F.broadcast(
+        materialize(
+            pcomp.join(F.broadcast(pivots.select("source")), "source", "left_semi")
+            .join(ecc_f, "source", "left")
+            .join(ecc_b, "source", "left")
+        )
+    )
+    vcomp = comps.select("vertex", "component")
+    same = F.col("pc") == F.col("component")
     # Directed sweeps raise opposite-side lower bounds everywhere:
     # ecc_f(w) ≥ d(w, p) (w reaches p), ecc_b(w) ≥ d(p, w). The triangle
-    # rule ecc_f(w) ≥ ecc_f(p) − d(p, w) additionally needs w to reach
-    # ecc_f(p)'s far vertex, which holds iff w and p share an SCC — so
-    # it is applied *same-component only* (in the reference the rule
-    # appears in the strongly-connected sweep updates,
-    # computer.rs:566-713; this is what closes a giant SCC in one
-    # sweep instead of |SCC| of them).
-    pcomp = comps.select(F.col("vertex").alias("source"), F.col("component").alias("pc"))
-    vcomp = comps.select("vertex", "component")
-    fwd_c = fwd.join(pcomp, "source").join(vcomp, "vertex").filter(
-        F.col("pc") == F.col("component")
-    )
-    bwd_c = bwd.join(pcomp, "source").join(vcomp, "vertex").filter(
-        F.col("pc") == F.col("component")
-    )
-    low_f_upd = (
-        bwd.groupBy("vertex")
-        .agg(F.max("distance").alias("lf1"))
-        .join(
-            fwd_c.join(ecc_f, "source")
-            .groupBy("vertex")
-            .agg(F.max(F.col("pecc_f") - F.col("distance")).alias("lf2")),
-            "vertex",
-            "outer",
-        )
-        .select(
-            "vertex",
-            F.greatest(
-                F.coalesce("lf1", F.lit(0)), F.coalesce("lf2", F.lit(0))
-            ).alias("lf"),
-        )
-    )
-    low_b_upd = (
-        fwd.groupBy("vertex")
-        .agg(F.max("distance").alias("lb1"))
-        .join(
-            bwd_c.join(ecc_b, "source")
-            .groupBy("vertex")
-            .agg(F.max(F.col("pecc_b") - F.col("distance")).alias("lb2")),
-            "vertex",
-            "outer",
-        )
-        .select(
-            "vertex",
-            F.greatest(
-                F.coalesce("lb1", F.lit(0)), F.coalesce("lb2", F.lit(0))
-            ).alias("lb"),
-        )
-    )
-    # same-SCC triangle UPPER bounds (the reference's strongly-connected
-    # sweep updates, computer.rs:566-713): within SCC(p), reach(w) goes
-    # through p — ecc_f(w) ≤ d(w,p) + ecc_f(p) and
-    # ecc_b(w) ≤ ecc_b(p) + d(p,w). This is what certifies a giant SCC
-    # from a handful of pivots instead of |SCC| exact closures (the
-    # cnr-2000 112k plateau, bench_logs/ess_cnr2000_profile_r3.log, is
-    # the giant SCC held open by missing upper-bound updates).
-    high_f_upd = (
-        bwd_c.join(ecc_f, "source")
+    # rules ecc_f(w) ≥ ecc_f(p) − d(p, w) / ecc_b(w) ≥ ecc_b(p) − d(w, p)
+    # additionally need w and p in one SCC, and the same-SCC triangle
+    # UPPER bounds (the reference's strongly-connected sweep updates,
+    # computer.rs:566-713) — ecc_f(w) ≤ d(w,p) + ecc_f(p),
+    # ecc_b(w) ≤ ecc_b(p) + d(p,w) — are what certify a giant SCC from
+    # a handful of pivots instead of |SCC| exact closures (the cnr-2000
+    # 112k plateau, bench_logs/ess_cnr2000_profile_r3.log).
+    fwd_agg = (
+        fwd.join(piv_meta, "source")
+        .join(vcomp, "vertex")
         .groupBy("vertex")
-        .agg(F.min(F.col("distance") + F.col("pecc_f")).alias("hf2"))
+        .agg(
+            F.max("distance").alias("lb1"),
+            F.max(F.when(same, F.col("pecc_f") - F.col("distance"))).alias("lf2"),
+            F.min(F.when(same, F.col("distance") + F.col("pecc_b"))).alias("hb2"),
+        )
     )
-    high_b_upd = (
-        fwd_c.join(ecc_b, "source")
+    bwd_agg = (
+        bwd.join(piv_meta, "source")
+        .join(vcomp, "vertex")
         .groupBy("vertex")
-        .agg(F.min(F.col("distance") + F.col("pecc_b")).alias("hb2"))
+        .agg(
+            F.max("distance").alias("lf1"),
+            F.max(F.when(same, F.col("pecc_b") - F.col("distance"))).alias("lb2"),
+            F.min(F.when(same, F.col("distance") + F.col("pecc_f"))).alias("hf2"),
+        )
+    )
+    upd = fwd_agg.join(bwd_agg, "vertex", "outer").select(
+        "vertex",
+        F.greatest(
+            F.coalesce("lf1", F.lit(0)), F.coalesce("lf2", F.lit(0))
+        ).alias("lf"),
+        F.greatest(
+            F.coalesce("lb1", F.lit(0)), F.coalesce("lb2", F.lit(0))
+        ).alias("lb"),
+        F.col("hf2"),
+        F.col("hb2"),
     )
     # pivots close exactly: their flood's max distance IS their
     # eccentricity, so both bounds collapse onto it
-    exact = (
+    exact = F.broadcast(
         ecc_f.join(ecc_b, "source")
         .select(F.col("source").alias("vertex"), "pecc_f", "pecc_b")
     )
     return materialize(
-        state.join(low_f_upd, "vertex", "left")
-        .join(low_b_upd, "vertex", "left")
-        .join(high_f_upd, "vertex", "left")
-        .join(high_b_upd, "vertex", "left")
+        state.join(upd, "vertex", "left")
         .join(exact, "vertex", "left")
         .select(
             "vertex",
