@@ -472,9 +472,77 @@ def _directed_ess_state(
                 .agg(F.sum("uses").alias("uses"))
             )
             prev_step = "allcc"
+        if not endgame:
+            # epilogue after every round, not a competing chooser step
+            # (tried as a step it scores ~0 early — nothing certified to
+            # propagate yet — and the drift starves it for ~100 rounds
+            # right at the plateau it exists to break): 4 supersteps
+            # spread the round's fresh exact eccentricities up to 4 hops
+            # into the open periphery at edge-table-join cost.
+            state = _relax_upper_bounds(arcs, transpose, state, iters=4)
     if stats is not None:
         stats.update(rounds=rounds, output_level=output_level)
     return state, rad
+
+
+def _relax_upper_bounds(arcs, transpose, state, iters: int = 8) -> DataFrame:
+    """Per-vertex upper-bound relaxation (round-5 step, closing the
+    in-2004-scale plateau of `bench_logs/rmat_in2004_rd_anchor_r5b.log`:
+    100k open periphery vertices, sweeps closing only their own pivots).
+
+    For ANY vertex ``w`` and any target ``x``, the first hop of a
+    shortest ``w → x`` path lands on some successor ``v`` with
+    ``d(w,x) = 1 + d(v,x) ≤ 1 + ecc_f(v)``, so
+
+        ``ecc_f(w) ≤ 1 + max_{v ∈ succ(w)} high_f(v)``
+
+    (``= 0`` when ``w`` has no successors — it reaches nothing), and
+    dually ``ecc_b(w) ≤ 1 + max over predecessors' high_b``. Iterating
+    propagates certified eccentricities from the closed core outward
+    one hop per pass — the per-VERTEX generalization of the per-SCC
+    AllCC DAG DP (`computer.rs:424-479`), sound on cycles (the min()
+    keeps bounds monotone non-increasing and never below the truth).
+    This is what mass-certifies small/singleton-SCC periphery vertices
+    whose bounds neither the same-SCC triangle rules (wrong SCC) nor
+    the condensation DP (bound telescopes too loosely down a deep DAG)
+    can close. Each pass is one join of the edge table with the n-row
+    state per direction — a superstep, not a flood."""
+    for _ in range(iters):
+        succ_max = (
+            arcs.join(
+                state.select(F.col("vertex").alias(DST), "high_f"), DST
+            )
+            .groupBy(SRC)
+            .agg(F.max("high_f").alias("mf"))
+            .select(F.col(SRC).alias("vertex"), "mf")
+        )
+        pred_max = (
+            transpose.join(
+                state.select(F.col("vertex").alias(DST), "high_b"), DST
+            )
+            .groupBy(SRC)
+            .agg(F.max("high_b").alias("mb"))
+            .select(F.col(SRC).alias("vertex"), "mb")
+        )
+        state = materialize(
+            state.join(succ_max, "vertex", "left")
+            .join(pred_max, "vertex", "left")
+            .select(
+                "vertex",
+                "component",
+                "low_f",
+                F.least(
+                    "high_f",
+                    F.coalesce(F.col("mf") + 1, F.lit(0)),
+                ).alias("high_f"),
+                "low_b",
+                F.least(
+                    "high_b",
+                    F.coalesce(F.col("mb") + 1, F.lit(0)),
+                ).alias("high_b"),
+            )
+        )
+    return state
 
 
 def _missing_radius_diameter(
