@@ -102,6 +102,33 @@ def eccentricities(
     return state.select("vertex", "component", F.col("low").alias("ecc"))
 
 
+def _relax_undirected(sym: DataFrame, state: DataFrame, iters: int = 2) -> DataFrame:
+    """Undirected twin of :func:`_relax_upper_bounds`:
+    ``ecc(w) ≤ 1 + max over neighbours' high`` (first hop of a shortest
+    path; ``= 0`` for isolated vertices). Less critical than the
+    directed form — undirected triangle bounds already generalize
+    component-wide — but each pass still spreads fresh exact
+    eccentricities one hop at edge-join cost."""
+    for _ in range(iters):
+        nb = (
+            sym.join(state.select(F.col("vertex").alias(DST), "high"), DST)
+            .groupBy(SRC)
+            .agg(F.max("high").alias("m"))
+            .select(F.col(SRC).alias("vertex"), "m")
+        )
+        state = materialize(
+            state.join(nb, "vertex", "left").select(
+                "vertex",
+                "component",
+                "low",
+                F.least(
+                    "high", F.coalesce(F.col("m") + 1, F.lit(0))
+                ).alias("high"),
+            )
+        )
+    return state
+
+
 def _undirected_ess_state(
     edges: DataFrame,
     output_level: str = "all",
@@ -219,6 +246,7 @@ def _undirected_ess_state(
                 F.least("high", F.coalesce("hi", F.lit(_INF))).alias("high"),
             )
         )
+        state = _relax_undirected(sym, state, iters=2)
     if stats is not None:
         stats.update(
             rounds=rounds,
@@ -346,7 +374,14 @@ def _directed_ess_state(
     rad = None
     if output_level in ("radius_diameter", "radius"):
         if radial is None:
-            rad = radial_vertices(edges).filter("is_radial").select("vertex")
+            # reuse the SCC frame materialized above — radial_vertices
+            # recomputes the full SCC otherwise (~100 s of the cnr-2000
+            # profile, /tmp/ess_profile_r5.log round 5)
+            rad = (
+                radial_vertices(edges, components=comps)
+                .filter("is_radial")
+                .select("vertex")
+            )
         else:
             rad = (
                 radial.filter("is_radial")
