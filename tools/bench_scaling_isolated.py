@@ -44,11 +44,16 @@ from webgraph_algo_rs_spark.session import get_spark
 from webgraph_algo_rs_spark.operators import pagerank
 
 master = sys.argv[1]; iters = int(sys.argv[2]); edges_path = sys.argv[3]
+exec_mem = sys.argv[4]
 spark = get_spark(app_name="scal_iso", master=master,
                   shuffle_partitions=64,
                   extra_conf={{
                       "spark.sql.warehouse.dir": "/tmp/spark-wh-scal-iso",
                       "spark.driver.memory": "8g",
+                      # standalone default is a 1g executor heap no
+                      # matter what the worker offers - size it to the
+                      # local-cluster spec or the 157M-edge persist OOMs
+                      "spark.executor.memory": exec_mem,
                   }})
 edges = spark.read.parquet(edges_path)
 n_edges = edges.count()
@@ -64,10 +69,10 @@ spark.stop()
 """
 
 
-def run(master: str, iters: int, edges_path: str) -> dict:
+def run(master: str, iters: int, edges_path: str, exec_mem: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RUN_ONE.format(repo=REPO), master, str(iters),
-         edges_path],
+         edges_path, exec_mem],
         capture_output=True,
         text=True,
     )
@@ -84,10 +89,12 @@ def main() -> None:
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     mem_mb = int(sys.argv[3]) if len(sys.argv) > 3 else 16384
     edges_path = ensure_input(n_convs)
-    r1 = run(f"local-cluster[1,8,{mem_mb}]", iters, edges_path)
-    r4 = run(f"local-cluster[4,8,{mem_mb}]", iters, edges_path)
+    exec_mem = f"{max(mem_mb - 1024, 1024)}m"  # headroom under the worker offer
+    r1 = run(f"local-cluster[1,8,{mem_mb}]", iters, edges_path, exec_mem)
+    r4 = run(f"local-cluster[4,8,{mem_mb}]", iters, edges_path, exec_mem)
     result = {
         "n_edges": (r1 if "error" not in r1 else r4).get("n_edges"),
+        "exec_mem": exec_mem,
         "supersteps": iters,
         "exec_mem_mb": mem_mb,
         "executors_1x8": r1,
@@ -115,7 +122,9 @@ def main() -> None:
         "",
         "## Isolated-executor datapoint (local-cluster, separate JVMs)",
         "",
-        f"Same job/input as above ({result['n_edges']:,} edges, {iters} "
+        "Same job/input as above ("
+        + (f"{result['n_edges']:,}" if result["n_edges"] else "?")
+        + f" edges, {iters} "
         "supersteps, 64 shuffle partitions), but executors are separate",
         f"processes — `local-cluster[1,8,{mem_mb}]` (N) vs "
         f"`local-cluster[4,8,{mem_mb}]` (4N), {mem_mb} MB per executor so",
