@@ -143,6 +143,19 @@ def main() -> None:
                     )
             if "efficiency_8_to_32" in s:
                 extra["scaling_efficiency_8_to_32"] = s["efficiency_8_to_32"]
+            iso = s.get("isolated_executors") or {}
+            if "efficiency_1_to_4_executors" in iso:
+                # process-separated executor JVMs (local-cluster), the
+                # closest sandbox analog to N vs 4N executor hosts —
+                # see BENCH_SCALING.md for the decomposition
+                extra["scaling_efficiency_1_to_4_executors_isolated"] = iso[
+                    "efficiency_1_to_4_executors"
+                ]
+                r4x8 = iso.get("executors_4x8") or {}
+                if "edges_per_sec_per_superstep" in r4x8:
+                    extra["edges_per_sec_per_superstep_4x8_executors"] = round(
+                        r4x8["edges_per_sec_per_superstep"], 1
+                    )
         except (ValueError, KeyError):
             pass
 
