@@ -185,6 +185,10 @@ def radial_vertices(
         .agg(F.min("vertex"))
         .first()[0]
     )
+    if rep is None:  # empty graph: no SCCs, no radial set
+        return edges.sparkSession.createDataFrame(
+            [], "vertex bigint, is_radial boolean"
+        )
     transpose = edges.select(
         F.col(DST).alias(SRC), F.col(SRC).alias(DST), "weight"
     )

@@ -1259,7 +1259,7 @@ def radius_diameter(
             "radius long, diameter long, radius_vertex long, diameter_vertex long",
         )
     ecc = eccentricities(edges, stats=stats, **kwargs)
-    return ecc.agg(
+    row = ecc.agg(
         F.min("ecc").alias("radius"),
         F.max("ecc").alias("diameter"),
         F.min_by("vertex", F.struct(F.col("ecc"), F.col("vertex"))).alias(
@@ -1268,6 +1268,23 @@ def radius_diameter(
         F.max_by(
             "vertex", F.struct(F.col("ecc"), (-F.col("vertex")).alias("t"))
         ).alias("diameter_vertex"),
+    ).first()
+    # empty graph → the same (0, 0, -1, -1) sentinel row the directed
+    # form and the radius_diameter level return, not a row of NULLs
+    return edges.sparkSession.createDataFrame(
+        [
+            (
+                int(row["radius"]) if row["radius"] is not None else 0,
+                int(row["diameter"]) if row["diameter"] is not None else 0,
+                int(row["radius_vertex"])
+                if row["radius_vertex"] is not None
+                else -1,
+                int(row["diameter_vertex"])
+                if row["diameter_vertex"] is not None
+                else -1,
+            )
+        ],
+        "radius long, diameter long, radius_vertex long, diameter_vertex long",
     )
 
 
