@@ -198,13 +198,34 @@ def main() -> None:
             "(see driver log); the BASELINE.json criterion is the N→4N "
             "pair, which is reported above."
         )
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    md_path = os.path.join(REPO, "BENCH_SCALING.md")
+    # preserve the isolated-executor section appended by
+    # tools/bench_scaling_isolated.py across thread-mode regenerations
+    iso_md = ""
+    try:
+        with open(md_path) as f:
+            old = f.read()
+        marker = "## Isolated-executor datapoint"
+        if marker in old:
+            iso_md = "\n" + old[old.index(marker):]
+    except OSError:
+        pass
+    with open(md_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + iso_md)
     # machine-readable sidecar: bench.py folds the big-graph throughput
     # into the per-round BENCH json (the sf0.1 transcript graph is tiny,
     # so its per-superstep figure measures driver latency, not the
-    # engine — VERDICT r1 §perf note 5)
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    # engine — VERDICT r1 §perf note 5); the isolated_executors key is
+    # owned by bench_scaling_isolated.py — carry it forward
+    sj = os.path.join(REPO, "BENCH_SCALING.json")
+    try:
+        with open(sj) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
+    if "isolated_executors" in prev:
+        result["isolated_executors"] = prev["isolated_executors"]
+    with open(sj, "w") as f:
         json.dump(result, f)
 
 
